@@ -1,0 +1,25 @@
+"""TPU-native op layer: selective SSM scan, causal conv1d, fused mamba inner.
+
+Replaces the reference's CUDA extensions
+(``mamba/csrc/selective_scan/``, ``causal-conv1d/csrc/``) with Pallas TPU
+kernels and XLA-fused jnp compositions.
+"""
+
+from segmamba_tpu.ops.selective_scan import (
+    selective_scan,
+    selective_scan_ref,
+    selective_scan_chunked,
+)
+from segmamba_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
+from segmamba_tpu.ops.mamba_inner import mamba_inner
+from segmamba_tpu.ops.scan_pallas import selective_scan_pallas
+
+__all__ = [
+    "selective_scan",
+    "selective_scan_ref",
+    "selective_scan_chunked",
+    "selective_scan_pallas",
+    "causal_conv1d",
+    "causal_conv1d_update",
+    "mamba_inner",
+]

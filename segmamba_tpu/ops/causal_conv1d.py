@@ -1,0 +1,82 @@
+"""Depthwise causal 1-D convolution, time-major.
+
+Replaces the reference CUDA extension ``causal_conv1d_cuda``
+(/root/reference/causal-conv1d/csrc/causal_conv1d.cpp:329-332 and the python
+wrapper /root/reference/causal-conv1d/causal_conv1d/causal_conv1d_interface.py:37-80).
+
+On TPU a width-2..4 depthwise causal conv is a handful of shifted
+multiply-adds; XLA fuses them into neighbouring elementwise work and
+differentiates them, so no hand-written kernel (or custom VJP) is needed.
+Layout is time-major ``(batch, seqlen, dim)``; the kernel weight is
+``(width, dim)`` (the reference stores ``(dim, 1, width)``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def causal_conv1d(x, weight, bias=None, activation=None):
+    """y[t, d] = act( sum_w weight[w, d] * x[t - (W-1) + w, d] + bias[d] ).
+
+    Args:
+      x:      (batch, seqlen, dim).
+      weight: (width, dim) depthwise filter, width in [1, 4] like the
+              reference (causal_conv1d.cpp:157 restricts to 2..4).
+      bias:   (dim,) or None.
+      activation: None or "silu" (reference accepts only these,
+              causal_conv1d_interface.py:45).
+    Returns:
+      (batch, seqlen, dim), same dtype as x.
+    """
+    if activation not in (None, "silu", "swish"):
+        raise ValueError(f"unsupported activation {activation!r}")
+    width, dim = weight.shape
+    if x.shape[-1] != dim:
+        raise ValueError(f"channel mismatch: x {x.shape} vs weight {weight.shape}")
+    seqlen = x.shape[1]
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    w = weight.astype(jnp.float32)
+    xp = jnp.pad(xf, ((0, 0), (width - 1, 0), (0, 0)))
+    y = jnp.zeros_like(xf)
+    for i in range(width):
+        # xp[:, i : i + L][t] == x[t + i - (W-1)]
+        y = y + w[i] * lax_slice_time(xp, i, seqlen)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if activation in ("silu", "swish"):
+        y = jax.nn.silu(y)
+    return y.astype(dtype)
+
+
+def lax_slice_time(x, start, length):
+    return jax.lax.dynamic_slice_in_dim(x, start, length, axis=1)
+
+
+def causal_conv1d_update(x_new, conv_state, weight, bias=None, activation=None):
+    """Single-token decode step: shift the conv window and produce one output.
+
+    Mirrors ``causal_conv1d_update``
+    (causal-conv1d/causal_conv1d/causal_conv1d_interface.py:68-80), time-major.
+
+    Args:
+      x_new:      (batch, dim) incoming token.
+      conv_state: (batch, width, dim) rolling window (oldest first).
+      weight:     (width, dim); bias: (dim,) or None.
+    Returns:
+      (out (batch, dim), new_conv_state (batch, width, dim)).
+    """
+    if activation not in (None, "silu", "swish"):
+        raise ValueError(f"unsupported activation {activation!r}")
+    width = weight.shape[0]
+    assert conv_state.shape[1] == width
+    new_state = jnp.concatenate([conv_state[:, 1:], x_new[:, None, :]], axis=1)
+    out = jnp.einsum("bwd,wd->bd", new_state.astype(jnp.float32),
+                     weight.astype(jnp.float32))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    if activation in ("silu", "swish"):
+        out = jax.nn.silu(out)
+    return out.astype(x_new.dtype), new_state
