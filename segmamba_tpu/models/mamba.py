@@ -1,0 +1,170 @@
+"""Tri-oriented Mamba module ("bimamba v3"), TPU-native.
+
+Rebuild of the reference ``Mamba`` module with ``bimamba_type="v3"``
+(/root/reference/mamba/mamba_ssm/modules/mamba_simple.py:34-264): three
+independent parameter sets — forward, backward (flipped sequence) and
+inter-slice (slice-interleaved sequence) — each running the fused
+conv1d + projections + selective-scan inner op, summed before a shared
+output projection (mamba_simple.py:215-264).
+
+Initialization parity with the reference:
+- dt_proj weight U(±dt_rank^-0.5) ("random" init, mamba_simple.py:90-94)
+- dt_proj bias = softplus^-1 of LogUniform[dt_min, dt_max] (:98-108)
+- A_log = log(1..d_state) per channel (S4D-real, :110-117)
+- D = 1 (:121)
+- in/out/x_proj: torch Linear kaiming-uniform defaults, no bias
+- conv1d: torch Conv1d defaults (fan_in = width), with bias
+
+Sequences are time-major (batch, L, d_model).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from segmamba_tpu.models.layers import torch_bias_uniform, torch_kaiming_uniform
+from segmamba_tpu.ops.mamba_inner import mamba_inner
+
+
+def _dt_bias_init(dt_min, dt_max, dt_init_floor):
+    """Inverse-softplus of a log-uniform sample in [dt_min, dt_max]
+    (mamba_simple.py:98-104)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, jnp.float32)
+        dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.maximum(dt, dt_init_floor)
+        # softplus^-1(dt) = dt + log(1 - exp(-dt))
+        inv = dt + jnp.log(-jnp.expm1(-dt))
+        return inv.astype(dtype)
+
+    return init
+
+
+def _a_log_init(d_state):
+    """S4D-real: A = [1..d_state] per channel, stored as log (:111-117)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        d_inner, n = shape
+        a = jnp.tile(jnp.arange(1, n + 1, dtype=jnp.float32)[None], (d_inner, 1))
+        return jnp.log(a).astype(dtype)
+
+    return init
+
+
+def slice_interleave(x, nslices):
+    """Reorder a flattened (slice-major) sequence to position-major so a scan
+    runs *across* slices: new[p*ns + s] = old[s*(L/ns) + p].
+
+    Equivalent to the reference's chunk/stack/flatten on the length axis
+    (mamba_simple.py:245-247). x: (batch, L, C)."""
+    b, L, c = x.shape
+    return x.reshape(b, nslices, L // nslices, c).swapaxes(1, 2).reshape(b, L, c)
+
+
+def slice_deinterleave(x, nslices):
+    """Inverse of ``slice_interleave`` (mamba_simple.py:261)."""
+    b, L, c = x.shape
+    return x.reshape(b, L // nslices, nslices, c).swapaxes(1, 2).reshape(b, L, c)
+
+
+class MambaV3(nn.Module):
+    """Tri-oriented selective-state-space mixer.
+
+    Args mirror the reference ``Mamba(d_model, d_state, d_conv, expand,
+    bimamba_type="v3", nslices)`` constructor (mamba_simple.py:34-55).
+    """
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: int | None = None  # default: ceil(d_model / 16)
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init_floor: float = 1e-4
+    conv_bias: bool = True
+    bias: bool = False
+    nslices: int | None = None
+    scan_impl: str = "auto"
+    scan_chunk: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    def _direction_params(self, suffix, d_inner, dt_rank):
+        """One parameter set (conv, x_proj, dt_proj, A_log, D) per direction,
+        matching the reference's fwd/_b/_s triplicate (mamba_simple.py:111-181)."""
+        conv_w = self.param(
+            f"conv1d{suffix}_weight", torch_kaiming_uniform(self.d_conv),
+            (self.d_conv, d_inner))
+        conv_b = (
+            self.param(f"conv1d{suffix}_bias", torch_bias_uniform(self.d_conv),
+                       (d_inner,))
+            if self.conv_bias else None)
+        x_proj = self.param(
+            f"x_proj{suffix}", torch_kaiming_uniform(d_inner),
+            (d_inner, dt_rank + 2 * self.d_state))
+        dt_init_std = dt_rank ** -0.5
+
+        def dt_w_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -dt_init_std, dt_init_std)
+
+        dt_proj = self.param(f"dt_proj{suffix}", dt_w_init, (dt_rank, d_inner))
+        dt_bias = self.param(
+            f"dt_proj{suffix}_bias",
+            _dt_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+            (d_inner,))
+        A_log = self.param(f"A{suffix}_log", _a_log_init(self.d_state),
+                           (d_inner, self.d_state))
+        D = self.param(f"D{suffix}", nn.initializers.ones, (d_inner,))
+        return conv_w, conv_b, x_proj, dt_proj, dt_bias, A_log, D
+
+    def _run_direction(self, xz, params):
+        conv_w, conv_b, x_proj, dt_proj, dt_bias, A_log, D = params
+        A = -jnp.exp(A_log.astype(jnp.float32))
+        return mamba_inner(
+            xz, conv_w.astype(self.dtype),
+            None if conv_b is None else conv_b.astype(self.dtype),
+            x_proj.astype(self.dtype), dt_proj.astype(self.dtype),
+            dt_bias.astype(jnp.float32), A, D.astype(jnp.float32),
+            d_state=self.d_state, impl=self.scan_impl,
+            chunk_size=self.scan_chunk)
+
+    @nn.compact
+    def __call__(self, hidden_states):
+        """hidden_states: (batch, L, d_model) -> same shape."""
+        b, L, _ = hidden_states.shape
+        d_inner = self.expand * self.d_model
+        dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
+        nslices = self.nslices
+        if nslices is None or L % nslices != 0:
+            raise ValueError(f"nslices={nslices} must divide L={L}")
+
+        h = hidden_states.astype(self.dtype)
+        in_proj = self.param("in_proj", torch_kaiming_uniform(self.d_model),
+                             (self.d_model, 2 * d_inner))
+        xz = jnp.einsum("bld,de->ble", h, in_proj.astype(self.dtype))
+
+        p_f = self._direction_params("", d_inner, dt_rank)
+        p_b = self._direction_params("_b", d_inner, dt_rank)
+        p_s = self._direction_params("_s", d_inner, dt_rank)
+
+        out = self._run_direction(xz, p_f)
+        out_b = self._run_direction(jnp.flip(xz, axis=1), p_b)
+        out_s = self._run_direction(slice_interleave(xz, nslices), p_s)
+
+        combined = (out + jnp.flip(out_b, axis=1)
+                    + slice_deinterleave(out_s, nslices))
+
+        out_proj = self.param("out_proj", torch_kaiming_uniform(d_inner),
+                              (d_inner, self.d_model))
+        y = jnp.einsum("bld,de->ble", combined, out_proj.astype(self.dtype))
+        if self.bias:
+            out_bias = self.param("out_proj_bias", torch_bias_uniform(d_inner),
+                                  (self.d_model,))
+            y = y + out_bias.astype(self.dtype)
+        return y

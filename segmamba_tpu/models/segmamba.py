@@ -1,0 +1,183 @@
+"""SegMamba: tri-oriented Mamba encoder + UNETR-style CNN decoder.
+
+Ground-up rebuild of /root/reference/model_segmamba/segmamba.py with
+channels-last volumes (batch, D, H, W, C) and the TPU-native Mamba mixer.
+Component map (reference file:lines):
+
+- ``MambaLayer``    — LN over flattened tokens + MambaV3 + residual (:49-76)
+- ``MlpChannel``    — 1×1×1 conv → GELU → 1×1×1 conv (:78-89)
+- ``GSC``           — gated spatial conv: two 3³ conv+IN+ReLU in series,
+                      summed with a parallel 1³ conv+IN+ReLU, fused by a final
+                      1³ conv+IN+ReLU plus outer residual (:91-132; the fusion
+                      is addition, matching the code at :127, not the paper
+                      figure's multiply)
+- ``MambaEncoder``  — stem conv k7 s2 p3; 3× (IN + conv k2 s2) downsamples;
+                      per stage GSC → depth×MambaLayer; per-stage output head
+                      IN + MlpChannel; num_slices_list = [64, 32, 16, 8]
+                      (:134-193)
+- ``SegMamba``      — UNETR wiring: 5 encoder blocks on input + the four
+                      stage outputs, 4 up-blocks with skip concat, basic block,
+                      1×1×1 output head (:195-343)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from segmamba_tpu.models.layers import Conv3d, instance_norm
+from segmamba_tpu.models.mamba import MambaV3
+from segmamba_tpu.models.unetr_blocks import (
+    UnetOutBlock,
+    UnetrBasicBlock,
+    UnetrUpBlock,
+)
+
+
+class MambaLayer(nn.Module):
+    """Flatten volume to a (B, L, C) token sequence, LayerNorm, tri-oriented
+    Mamba, reshape back, residual (segmamba.py:63-76)."""
+
+    dim: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    num_slices: int | None = None
+    scan_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, *spatial, c = x.shape
+        assert c == self.dim
+        n_tokens = 1
+        for s in spatial:
+            n_tokens *= s
+        x_flat = x.reshape(b, n_tokens, c)
+        # torch nn.LayerNorm: affine, eps 1e-5
+        x_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x_flat)
+        x_mamba = MambaV3(
+            d_model=self.dim, d_state=self.d_state, d_conv=self.d_conv,
+            expand=self.expand, nslices=self.num_slices,
+            scan_impl=self.scan_impl, dtype=self.dtype, name="mamba")(x_norm)
+        return x_mamba.reshape(b, *spatial, c) + x
+
+
+class MlpChannel(nn.Module):
+    """1×1×1 conv MLP over channels (segmamba.py:78-89)."""
+
+    hidden_size: int
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv3d(self.mlp_dim, 1, 1, 0, dtype=self.dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        return Conv3d(self.hidden_size, 1, 1, 0, dtype=self.dtype, name="fc2")(h)
+
+
+class GSC(nn.Module):
+    """Gated (by addition, segmamba.py:127) spatial conv block."""
+
+    in_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.in_channels
+
+        def conv_in_relu(h, k, pad, name):
+            h = Conv3d(c, k, 1, pad, dtype=self.dtype, name=name)(h)
+            return jax.nn.relu(instance_norm(h))
+
+        x1 = conv_in_relu(x, 3, 1, "proj")
+        x1 = conv_in_relu(x1, 3, 1, "proj2")
+        x2 = conv_in_relu(x, 1, 0, "proj3")
+        h = conv_in_relu(x1 + x2, 1, 0, "proj4")
+        return h + x
+
+
+class MambaEncoder(nn.Module):
+    """Four-stage Mamba encoder (segmamba.py:134-193)."""
+
+    in_chans: int = 1
+    depths: Sequence[int] = (2, 2, 2, 2)
+    dims: Sequence[int] = (48, 96, 192, 384)
+    num_slices_list: Sequence[int] = (64, 32, 16, 8)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    scan_impl: str = "auto"
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        layer_cls = MambaLayer
+        if self.remat:
+            layer_cls = nn.remat(MambaLayer)
+        for i in range(4):
+            if i == 0:
+                x = Conv3d(self.dims[0], 7, 2, 3, dtype=self.dtype,
+                           name="stem")(x)
+            else:
+                x = instance_norm(x)
+                x = Conv3d(self.dims[i], 2, 2, 0, dtype=self.dtype,
+                           name=f"downsample{i}")(x)
+            x = GSC(self.dims[i], dtype=self.dtype, name=f"gsc{i}")(x)
+            for j in range(self.depths[i]):
+                x = layer_cls(
+                    dim=self.dims[i], num_slices=self.num_slices_list[i],
+                    scan_impl=self.scan_impl, dtype=self.dtype,
+                    name=f"stage{i}_block{j}")(x)
+            if i in self.out_indices:
+                h = instance_norm(x)
+                h = MlpChannel(self.dims[i], 2 * self.dims[i],
+                               dtype=self.dtype, name=f"mlp{i}")(h)
+                outs.append(h)
+        return tuple(outs)
+
+
+class SegMamba(nn.Module):
+    """Full segmentation model (segmamba.py:195-343).
+
+    Input (batch, D, H, W, in_chans) → logits (batch, D, H, W, out_chans).
+    Defaults match the BraTS config (3_train.py:41-44: 4→4 channels,
+    depths [2,2,2,2], feats [48,96,192,384]).
+    """
+
+    in_chans: int = 4
+    out_chans: int = 4
+    depths: Sequence[int] = (2, 2, 2, 2)
+    feat_size: Sequence[int] = (48, 96, 192, 384)
+    hidden_size: int = 768
+    num_slices_list: Sequence[int] = (64, 32, 16, 8)
+    scan_impl: str = "auto"
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_in):
+        f = self.feat_size
+        outs = MambaEncoder(
+            in_chans=self.in_chans, depths=self.depths, dims=f,
+            num_slices_list=self.num_slices_list, scan_impl=self.scan_impl,
+            remat=self.remat, dtype=self.dtype, name="vit")(x_in)
+
+        enc1 = UnetrBasicBlock(f[0], dtype=self.dtype, name="encoder1")(x_in)
+        enc2 = UnetrBasicBlock(f[1], dtype=self.dtype, name="encoder2")(outs[0])
+        enc3 = UnetrBasicBlock(f[2], dtype=self.dtype, name="encoder3")(outs[1])
+        enc4 = UnetrBasicBlock(f[3], dtype=self.dtype, name="encoder4")(outs[2])
+        enc_hidden = UnetrBasicBlock(self.hidden_size, dtype=self.dtype,
+                                     name="encoder5")(outs[3])
+
+        dec3 = UnetrUpBlock(f[3], dtype=self.dtype, name="decoder5")(enc_hidden, enc4)
+        dec2 = UnetrUpBlock(f[2], dtype=self.dtype, name="decoder4")(dec3, enc3)
+        dec1 = UnetrUpBlock(f[1], dtype=self.dtype, name="decoder3")(dec2, enc2)
+        dec0 = UnetrUpBlock(f[0], dtype=self.dtype, name="decoder2")(dec1, enc1)
+        out = UnetrBasicBlock(f[0], dtype=self.dtype, name="decoder1")(dec0)
+        logits = UnetOutBlock(self.out_chans, dtype=self.dtype, name="out")(out)
+        return logits.astype(jnp.float32)

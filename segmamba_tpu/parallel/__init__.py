@@ -1,0 +1,17 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's NCCL/torchrun distributed layer
+(/root/reference/light_training/trainer.py:90-107, launch.py:69-117) with
+single-program pjit over a named mesh: the data axis rides ICI, gradient
+mean is inserted by XLA from the sharding annotations — no launcher, no
+process groups, no explicit collectives.
+"""
+
+from segmamba_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch"]

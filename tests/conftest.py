@@ -20,3 +20,9 @@ import jax  # noqa: E402  (import after env setup)
 # jax_platforms to the tunneled TPU backend; override via config too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# CPU compiles of the 3-D conv stacks are slow; cache them across runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
