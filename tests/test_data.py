@@ -1,0 +1,211 @@
+"""Data subsystem: NIfTI IO, preprocessing chain, dataset/sampler/loader,
+augmentation — golden tests on synthetic volumes."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from segmamba_tpu.data import (
+    MedicalDataset,
+    MultiModalityPreprocessor,
+    PatchSampler,
+    DataLoader,
+    compute_new_shape,
+    crop_to_nonzero,
+    get_train_val_test_loader_from_train,
+    read_nifti,
+    resample_to_shape,
+    write_nifti,
+)
+from segmamba_tpu.data.augment import (
+    get_train_transforms,
+    get_validation_transforms,
+)
+from segmamba_tpu.data.preprocessing import (
+    sample_foreground_locations,
+    zscore_normalize,
+)
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((5, 6, 7)).astype(np.float32)
+    for name in ["a.nii", "b.nii.gz"]:
+        p = tmp_path / name
+        write_nifti(p, vol, spacing=(1.0, 1.5, 2.0))
+        img = read_nifti(p, with_meta=True)
+        np.testing.assert_allclose(img.array, vol, rtol=1e-6)
+        assert img.spacing == (1.0, 1.5, 2.0)
+
+
+def test_nifti_int_dtype(tmp_path):
+    seg = np.random.default_rng(1).integers(0, 4, (4, 5, 6)).astype(np.int16)
+    p = tmp_path / "seg.nii.gz"
+    write_nifti(p, seg)
+    back = read_nifti(p)
+    np.testing.assert_array_equal(back, seg)
+
+
+def test_crop_to_nonzero():
+    data = np.zeros((1, 10, 10, 10), np.float32)
+    data[0, 2:8, 3:7, 1:9] = 1.0
+    seg = np.zeros((1, 10, 10, 10), np.float32)
+    seg[0, 4, 4, 4] = 2
+    d, s, bbox = crop_to_nonzero(data, seg)
+    assert bbox == [[2, 8], [3, 7], [1, 9]]
+    assert d.shape == (1, 6, 4, 8)
+    # outside-mask zeros are marked -1 — here the mask covers the whole crop
+    assert (s >= 0).all()
+    assert s.max() == 2
+
+
+def test_zscore_and_new_shape():
+    x = np.random.default_rng(0).standard_normal((8, 8, 8)) * 5 + 3
+    z = zscore_normalize(x)
+    assert abs(z.mean()) < 1e-5 and abs(z.std() - 1) < 1e-4
+    np.testing.assert_array_equal(
+        compute_new_shape((100, 100, 50), (1.0, 1.0, 2.0), (1.0, 1.0, 1.0)),
+        [100, 100, 100])
+
+
+def test_resample_seg_preserves_labels():
+    seg = np.zeros((1, 8, 8, 8), np.float32)
+    seg[0, 2:6, 2:6, 2:6] = 2
+    out = resample_to_shape(seg, (16, 16, 16), (1, 1, 1), is_seg=True, order=1)
+    assert set(np.unique(out)) <= {0.0, 2.0}
+    assert out.shape == (1, 16, 16, 16)
+
+
+def _make_synthetic_raw(tmp_path, n_cases=3, shape=(20, 22, 24)):
+    base = tmp_path / "raw"
+    rng = np.random.default_rng(0)
+    for i in range(n_cases):
+        case = base / "images" / f"case_{i:03d}"
+        os.makedirs(case)
+        z, y, x = shape
+        for m in ["t1.nii.gz", "t2.nii.gz"]:
+            vol = np.zeros(shape, np.float32)
+            vol[3:z - 3, 3:y - 3, 3:x - 3] = \
+                rng.standard_normal((z - 6, y - 6, x - 6)) + 10
+            write_nifti(case / m, vol, spacing=(1.0, 1.0, 2.0))
+        seg = np.zeros(shape, np.float32)
+        seg[8:12, 9:13, 10:14] = 1
+        seg[10:12, 11:13, 12:14] = 2
+        write_nifti(case / "seg.nii.gz", seg, spacing=(1.0, 1.0, 2.0))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def preprocessed_dir(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("pp")
+    base = _make_synthetic_raw(tmp_path)
+    pp = MultiModalityPreprocessor(
+        base_dir=base, image_dir="images",
+        data_filenames=["t1.nii.gz", "t2.nii.gz"], seg_filename="seg.nii.gz")
+    out = str(tmp_path / "out")
+    pp.run(output_spacing=[1.0, 1.0, 1.0], output_dir=out,
+           all_labels=[1, 2], num_processes=1)
+    return out
+
+
+def test_preprocessor_outputs(preprocessed_dir):
+    files = sorted(os.listdir(preprocessed_dir))
+    assert "case_000.npz" in files and "case_000.pkl" in files
+    with np.load(os.path.join(preprocessed_dir, "case_000.npz")) as z:
+        data, seg = z["data"], z["seg"]
+    assert data.shape[0] == 2 and seg.shape[0] == 1
+    # spacing (1,1,2) z-axis doubled: raw z=20 cropped then scaled 2x
+    with open(os.path.join(preprocessed_dir, "case_000.pkl"), "rb") as f:
+        props = pickle.load(f)
+    for key in ["spacing", "raw_size", "shape_before_cropping",
+                "bbox_used_for_cropping",
+                "shape_after_cropping_before_resample",
+                "shape_after_resample", "class_locations",
+                "original_spacing_trans", "target_spacing_trans"]:
+        assert key in props, key
+    # z spacing halved resolution: shape_after_resample z = 2x cropped z
+    cropped = props["shape_after_cropping_before_resample"]
+    resampled = props["shape_after_resample"]
+    assert resampled[0] == 2 * cropped[0]
+    assert tuple(resampled[1:]) == tuple(cropped[1:])
+    assert set(props["class_locations"].keys()) == {1, 2}
+    assert len(props["class_locations"][1]) > 0
+    # normalization: mean~0 per channel
+    assert abs(float(data[0].mean())) < 0.3
+
+
+def test_dataset_and_sampler(preprocessed_dir):
+    paths = [os.path.join(preprocessed_dir, f)
+             for f in sorted(os.listdir(preprocessed_dir))
+             if f.endswith(".npz")]
+    ds = MedicalDataset(paths)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["data"].ndim == 4 and item["seg"].ndim == 4
+
+    sampler = PatchSampler(ds, patch_size=(16, 16, 16), batch_size=4,
+                           rng=np.random.default_rng(0))
+    batch = sampler.generate_train_batch()
+    assert batch["data"].shape == (4, 2, 16, 16, 16)
+    assert batch["seg"].shape == (4, 1, 16, 16, 16)
+    # foreground forcing: the last ~33% of the batch must contain fg labels
+    fg_batch = [np.any(batch["seg"][j] > 0) for j in range(4)]
+    assert fg_batch[-1]  # last sample is force_fg by construction
+
+
+def test_sampler_patch_larger_than_volume(preprocessed_dir):
+    paths = [os.path.join(preprocessed_dir, f)
+             for f in sorted(os.listdir(preprocessed_dir))
+             if f.endswith(".npz")]
+    ds = MedicalDataset(paths)
+    sampler = PatchSampler(ds, patch_size=(64, 64, 64), batch_size=2,
+                           rng=np.random.default_rng(0))
+    batch = sampler.generate_train_batch()
+    assert batch["data"].shape == (2, 2, 64, 64, 64)
+
+
+def test_split_factory(preprocessed_dir):
+    train, val, test = get_train_val_test_loader_from_train(
+        preprocessed_dir, train_rate=0.4, val_rate=0.4, test_rate=0.4)
+    assert len(train) == 1 and len(val) == 1 and len(test) == 1
+
+
+def test_augment_chain(preprocessed_dir):
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((2, 2, 16, 16, 16)).astype(np.float32)
+    seg = rng.integers(-1, 3, (2, 1, 16, 16, 16)).astype(np.float32)
+    tf = get_train_transforms()
+    out = tf({"data": data.copy(), "seg": seg.copy()}, rng)
+    assert out["data"].shape == data.shape
+    assert out["seg"].shape == seg.shape
+    assert out["seg"].min() >= 0  # -1 removed
+    assert set(np.unique(out["seg"])) <= {0.0, 1.0, 2.0}
+    # val transform only removes labels
+    v = get_validation_transforms()({"data": data.copy(), "seg": seg.copy()},
+                                    rng)
+    np.testing.assert_array_equal(v["data"], data)
+    assert v["seg"].min() >= 0
+
+
+def test_loader_inline_and_workers(preprocessed_dir):
+    paths = [os.path.join(preprocessed_dir, f)
+             for f in sorted(os.listdir(preprocessed_dir))
+             if f.endswith(".npz")]
+    ds = MedicalDataset(paths)
+    sampler = PatchSampler(ds, patch_size=(16, 16, 16), batch_size=2,
+                           rng=np.random.default_rng(0))
+    loader = DataLoader(sampler, transform=get_validation_transforms(),
+                        num_workers=0, steps_per_epoch=3)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 16, 16, 16, 2)  # channels-last
+    assert batches[0]["label"].shape == (2, 16, 16, 16)
+    assert batches[0]["label"].dtype == np.int32
+
+    with DataLoader(sampler, transform=get_validation_transforms(),
+                    num_workers=2, num_cached=2, steps_per_epoch=4) as ld:
+        got = [next(iter([b])) for b in ld]
+    assert len(got) == 4
+    assert got[0]["image"].shape == (2, 16, 16, 16, 2)
