@@ -1,0 +1,116 @@
+"""BraTS2023 training: SegMamba, 1000 epochs x 250 steps x batch 2, SGD poly.
+
+Parity with /root/reference/3_train.py (BraTSTrainer): CE loss over 4
+classes, patch 128^3, val every 2 epochs with TC/WT/ET dice, keep-best
+checkpoints. TPU-first: bf16 compute, DP over all local devices via the mesh.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="./data/fullres/train")
+    ap.add_argument("--logdir", default="./logs/segmamba")
+    ap.add_argument("--max-epochs", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--val-every", type=int, default=2)
+    ap.add_argument("--steps-per-epoch", type=int, default=250)
+    ap.add_argument("--val-number", type=int, default=100)
+    ap.add_argument("--patch", type=int, nargs=3, default=[128, 128, 128])
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--loss", default="ce", choices=["ce", "dice_ce"])
+    ap.add_argument("--augmentation", default="default",
+                    choices=["default", "nomirror", "onlymirror",
+                             "onlyspatial", "noaug"])
+    ap.add_argument("--num-workers", type=int, default=8)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard the batch over all local devices")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from segmamba_tpu.data import get_train_val_test_loader_from_train
+    from segmamba_tpu.models import SegMamba
+    from segmamba_tpu.parallel import make_mesh
+    from segmamba_tpu.train import Trainer
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    # BraTS dice metric on TC/WT/ET composites (reference convert_labels,
+    # 3_train.py:68-72)
+    class BraTSTrainer(Trainer):
+        def validation_step(self, state, batch):
+            image, label = self.get_input(batch)
+            logits = jax.jit(state.apply_fn)(state.params, jnp.asarray(image))
+            pred = np.asarray(jnp.argmax(logits, axis=-1))
+            label = np.asarray(label)
+            groups = [
+                (pred == 1) | (pred == 3),               # TC
+                (pred == 1) | (pred == 3) | (pred == 2),  # WT
+                pred == 3,                               # ET
+            ]
+            gts = [
+                (label == 1) | (label == 3),
+                (label == 1) | (label == 3) | (label == 2),
+                label == 3,
+            ]
+            dices = []
+            for p, g in zip(groups, gts):
+                if p.sum() > 0 and g.sum() > 0:
+                    dices.append(float(2.0 * (p & g).sum() /
+                                       (p.sum() + g.sum())))
+                elif p.sum() == 0 and g.sum() == 0:
+                    dices.append(1.0)
+                else:
+                    dices.append(0.0)
+            return dices
+
+        def validation_end(self, state, val_outputs):
+            arr = np.asarray(val_outputs)
+            tc, wt, et = arr.mean(axis=0)
+            mean_dice = float((tc + wt + et) / 3)
+            print(f"dices: tc={tc:.4f} wt={wt:.4f} et={et:.4f} "
+                  f"mean={mean_dice:.4f}")
+            for k, v in [("tc", tc), ("wt", wt), ("et", et),
+                         ("mean_dice", mean_dice)]:
+                self.logger.log(k, v, self.epoch)
+            from segmamba_tpu.train import checkpoint as ckpt
+            if mean_dice > self.best_mean_dice:
+                self.best_mean_dice = mean_dice
+                ckpt.save_new_and_delete_last(
+                    state, self.model_save_path, "best_model", mean_dice,
+                    self.epoch)
+            ckpt.save_new_and_delete_last(
+                state, self.model_save_path, "final_model", mean_dice,
+                self.epoch)
+            return mean_dice
+
+    mesh = make_mesh() if args.data_parallel else None
+    model = SegMamba(in_chans=4, out_chans=4, depths=(2, 2, 2, 2),
+                     feat_size=(48, 96, 192, 384), dtype=dtype)
+    trainer = BraTSTrainer(
+        model, args.logdir, max_epochs=args.max_epochs,
+        batch_size=args.batch_size, val_every=args.val_every,
+        num_step_per_epoch=args.steps_per_epoch, val_number=args.val_number,
+        patch_size=tuple(args.patch),
+        augmentation=(True if args.augmentation == "default"
+                      else args.augmentation),
+        learning_rate=args.lr, scheduler_type="poly", loss=args.loss,
+        num_classes=4, num_workers=args.num_workers, mesh=mesh,
+        seed=args.seed, resume=args.resume)
+
+    train_ds, val_ds, test_ds = get_train_val_test_loader_from_train(
+        args.data_dir)
+    trainer.train(train_ds, val_ds)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Full-volume inference on the BraTS2023 test split: sliding window 128^3 +
+8-way mirror TTA -> inverse resample/crop -> NIfTI predictions + quick dice.
+
+Parity with /root/reference/4_predict.py (define_model_segmamba :44-67,
+validation_step :69-101) on the TPU sliding-window inferer.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="./data/fullres/train")
+    ap.add_argument("--checkpoint", default="./logs/segmamba/model",
+                    help="checkpoint dir (or its parent model dir)")
+    ap.add_argument("--save-dir", default="./prediction_results/segmamba")
+    ap.add_argument("--roi", type=int, nargs=3, default=[128, 128, 128])
+    ap.add_argument("--sw-batch-size", type=int, default=2)
+    ap.add_argument("--overlap", type=float, default=0.5)
+    ap.add_argument("--mirror", type=int, nargs="*", default=[0, 1, 2])
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from segmamba_tpu.data import get_train_val_test_loader_from_train
+    from segmamba_tpu.infer import Predictor, SlidingWindowInferer
+    from segmamba_tpu.metrics import dice
+    from segmamba_tpu.metrics.metrics import convert_labels_brats
+    from segmamba_tpu.models import SegMamba
+    from segmamba_tpu.train import checkpoint as ckpt
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = SegMamba(in_chans=4, out_chans=4, dtype=dtype)
+
+    path = args.checkpoint
+    if not os.path.basename(path).split("_")[-1].replace(".", "").isdigit():
+        found = ckpt.find_checkpoint(path, "best_model")
+        if found is None:
+            raise SystemExit(f"no checkpoint found under {path}")
+        path = found
+    print(f"loading checkpoint: {path}")
+    sample = jnp.zeros((1, 64, 64, 64, 4), jnp.float32)
+    params_template = jax.eval_shape(model.init, jax.random.key(0), sample)
+    params = ckpt.restore_params(path)
+
+    fwd = jax.jit(model.apply)
+
+    def predictor_fn(wins):
+        return fwd(params, wins)
+
+    inferer = SlidingWindowInferer(tuple(args.roi),
+                                   sw_batch_size=args.sw_batch_size,
+                                   overlap=args.overlap, mode="gaussian")
+    predictor = Predictor(inferer, mirror_axes=tuple(args.mirror))
+
+    _, _, test_ds = get_train_val_test_loader_from_train(args.data_dir)
+    print(f"test cases: {len(test_ds)}")
+    all_dices = []
+    for i in range(len(test_ds)):
+        item = test_ds[i]
+        data = np.asarray(item["data"], np.float32)   # (C, Z, Y, X)
+        props = item["properties"]
+        x = jnp.asarray(np.moveaxis(data, 0, -1))[None]  # (1, Z, Y, X, C)
+
+        logits = predictor.maybe_mirror_and_predict(x, predictor_fn,
+                                                    num_classes=4)
+        raw = predictor.predict_raw_probability(np.asarray(logits), props)
+        seg = np.argmax(raw, axis=0)
+
+        if "seg" in item:
+            gt = np.asarray(item["seg"][0])
+            gt_resampled_shape = seg.shape  # seg is at pre-resample shape
+            # quick dice at model resolution using argmax on composites
+            pred_c = convert_labels_brats(seg)
+            # ground truth is at post-resample res; resample gt-side instead
+            from scipy import ndimage as ndi
+            zoom = [t / s for t, s in zip(seg.shape, gt.shape)]
+            gt_r = ndi.zoom(gt, zoom, order=0)
+            gt_c = convert_labels_brats(gt_r)
+            ds = [dice(pred_c[k], gt_c[k]) for k in range(3)]
+            all_dices.append(ds)
+            print(f"{props['name']}: tc={ds[0]:.4f} wt={ds[1]:.4f} "
+                  f"et={ds[2]:.4f}")
+
+        full = predictor.predict_noncrop_probability(seg[None], props)
+        predictor.save_to_nii(full, props, args.save_dir)
+
+    if all_dices:
+        arr = np.asarray(all_dices, np.float64)
+        mean = np.nanmean(arr, axis=0)
+        print(f"mean dice: tc={mean[0]:.4f} wt={mean[1]:.4f} "
+              f"et={mean[2]:.4f} overall={np.nanmean(mean):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Sliding-window inference as one jitted device program.
+
+Rebuilds the semantics of the vendored MONAI inferer the reference evaluates
+with (/root/reference/monai/inferers/utils.py:43-321 — scan-interval grid
+:174-175, gaussian importance map :194-211, weighted accumulate + count-map
+divide :251-299, pad-if-smaller :163-171; class wrapper
+monai/inferers/inferer.py:382-536) — but TPU-first: the whole volume lives in
+HBM, a ``lax.scan`` walks window batches, windows are gathered with
+``dynamic_slice`` and written back with read-modify-write
+``dynamic_update_slice``. One compile per padded volume shape; volumes are
+padded up to a shape bucket (multiple of ``bucket``) so a whole dataset
+reuses a handful of compiles instead of one per case.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _scan_starts(image_size, roi_size, overlap):
+    """Window start offsets per dim (monai _get_scan_interval +
+    dense_patch_slices semantics)."""
+    starts = []
+    for im, roi in zip(image_size, roi_size):
+        if roi >= im:
+            starts.append([0])
+            continue
+        interval = max(1, int(roi * (1 - overlap)))
+        n = int(math.ceil((im - roi) / interval)) + 1
+        starts.append(sorted({min(i * interval, im - roi) for i in range(n)}))
+    grid = np.stack(np.meshgrid(*starts, indexing="ij"), -1).reshape(-1, 3)
+    return grid.astype(np.int32)
+
+
+def gaussian_importance_map(roi_size, sigma_scale=0.125, dtype=np.float32):
+    """Separable gaussian, peak 1, zero-free (monai compute_importance_map)."""
+    maps = []
+    for s in roi_size:
+        center = (s - 1) / 2.0
+        sigma = max(s * sigma_scale, 1e-3)
+        x = np.arange(s, dtype=np.float64)
+        maps.append(np.exp(-0.5 * ((x - center) / sigma) ** 2))
+    m = maps[0][:, None, None] * maps[1][None, :, None] * maps[2][None, None, :]
+    m = m / m.max()
+    # Floor the weights: raw corner values underflow float32 (~1e-21 for a
+    # 128^3 roi), which corrupts the out/count division wherever only one
+    # window covers a voxel. 1e-6 relative weight is numerically inert.
+    m = np.maximum(m, 1e-6).astype(dtype)
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("predictor", "roi_size",
+                                             "sw_batch_size", "num_classes"))
+def _sliding_window_jit(volume, starts, wmask, importance, predictor,
+                        roi_size, sw_batch_size, num_classes):
+    """volume: (Z, Y, X, C); starts: (n_groups, sw, 3); wmask same leading."""
+    Z, Y, X, _ = volume.shape
+    rz, ry, rx = roi_size
+    out = jnp.zeros((Z, Y, X, num_classes), jnp.float32)
+    cnt = jnp.zeros((Z, Y, X, 1), jnp.float32)
+    imp = importance.astype(jnp.float32)[..., None]  # (rz, ry, rx, 1)
+
+    def gather(s):
+        return lax.dynamic_slice(
+            volume, (s[0], s[1], s[2], 0),
+            (rz, ry, rx, volume.shape[-1]))
+
+    def body(carry, group):
+        out, cnt = carry
+        s, m = group                       # (sw, 3), (sw,)
+        wins = jax.vmap(gather)(s)         # (sw, rz, ry, rx, C)
+        logits = predictor(wins).astype(jnp.float32)
+        w = imp[None] * m[:, None, None, None, None]
+        contrib = logits * w
+        for i in range(sw_batch_size):
+            idx = (s[i, 0], s[i, 1], s[i, 2], 0)
+            cur = lax.dynamic_slice(out, idx, (rz, ry, rx, num_classes))
+            out = lax.dynamic_update_slice(out, cur + contrib[i], idx)
+            curc = lax.dynamic_slice(cnt, idx, (rz, ry, rx, 1))
+            cnt = lax.dynamic_update_slice(cnt, curc + w[i], idx)
+        return (out, cnt), None
+
+    (out, cnt), _ = lax.scan(body, (out, cnt), (starts, wmask))
+    return out / jnp.maximum(cnt, 1e-8)
+
+
+def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
+                             sw_batch_size=2, num_classes=None, bucket=32,
+                             mode="gaussian"):
+    """Gaussian-blended sliding-window prediction.
+
+    Args:
+      volume:    (1, Z, Y, X, C) or (Z, Y, X, C) array.
+      roi_size:  window size triple (the BraTS recipe uses 128^3,
+                 4_predict.py:55).
+      predictor: callable (B, *roi, C) -> (B, *roi, K) logits (jit-traceable).
+      bucket:    volumes are zero-padded up to multiples of this so that jit
+                 compiles are shared across similarly-sized cases.
+    Returns:
+      (1, Z, Y, X, K) blended logits, original (unpadded) size.
+    """
+    squeeze = False
+    if volume.ndim == 4:
+        volume = volume[None]
+        squeeze = True
+    _, Z, Y, X, C = volume.shape
+    roi_size = tuple(int(r) for r in roi_size)
+
+    # pad to at least roi and to the shape bucket
+    def padded(dim, roi):
+        tgt = max(dim, roi)
+        return int(math.ceil(tgt / bucket) * bucket) if bucket else tgt
+
+    pz, py, px = (padded(Z, roi_size[0]), padded(Y, roi_size[1]),
+                  padded(X, roi_size[2]))
+    vol = jnp.pad(volume[0].astype(jnp.float32),
+                  ((0, pz - Z), (0, py - Y), (0, px - X), (0, 0)))
+
+    starts = _scan_starts((pz, py, px), roi_size, overlap)
+    sw = max(1, sw_batch_size)
+    n_pad = (-len(starts)) % sw
+    wmask = np.ones(len(starts), np.float32)
+    if n_pad:
+        starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, 0)])
+        wmask = np.concatenate([wmask, np.zeros(n_pad, np.float32)])
+    starts = starts.reshape(-1, sw, 3)
+    wmask = wmask.reshape(-1, sw)
+
+    imp = (gaussian_importance_map(roi_size) if mode == "gaussian"
+           else np.ones(roi_size, np.float32))
+    if num_classes is None:
+        probe = predictor(jnp.zeros((1, *roi_size, C), jnp.float32))
+        num_classes = probe.shape[-1]
+    out = _sliding_window_jit(vol, jnp.asarray(starts), jnp.asarray(wmask),
+                              jnp.asarray(imp), predictor, roi_size, sw,
+                              int(num_classes))
+    out = out[:Z, :Y, :X]
+    return out if squeeze else out[None]
+
+
+class SlidingWindowInferer:
+    """Config wrapper mirroring the reference's inferer construction
+    (3_train.py:35-37, 4_predict.py:55-58)."""
+
+    def __init__(self, roi_size, sw_batch_size=2, overlap=0.5,
+                 mode="gaussian", bucket=32):
+        if mode not in ("gaussian", "constant"):
+            raise ValueError(f"unknown blend mode {mode!r}")
+        self.roi_size = tuple(roi_size)
+        self.sw_batch_size = sw_batch_size
+        self.overlap = overlap
+        self.mode = mode
+        self.bucket = bucket
+
+    def __call__(self, volume, predictor, num_classes=None):
+        return sliding_window_inference(
+            volume, self.roi_size, predictor, overlap=self.overlap,
+            sw_batch_size=self.sw_batch_size, num_classes=num_classes,
+            bucket=self.bucket, mode=self.mode)

@@ -12,6 +12,7 @@ from segmamba_tpu.train.lr_schedules import (
     poly_schedule,
 )
 from segmamba_tpu.train.train_state import TrainState, create_train_state, train_step
+from segmamba_tpu.train.trainer import Trainer
 
 __all__ = [
     "cross_entropy_loss",
@@ -24,4 +25,5 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "train_step",
+    "Trainer",
 ]
