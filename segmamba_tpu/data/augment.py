@@ -48,15 +48,15 @@ def spatial_transform(batch, rng, p_rot=0.2, p_scale=0.2,
         mat = mat * sc
         center = (np.asarray(data.shape[2:]) - 1) / 2.0
         offset = center - mat @ center
+        # native C++/OpenMP resampler when built; scipy otherwise
+        from segmamba_tpu.native import affine_transform_3d
         for c in range(data.shape[1]):
-            data[b, c] = ndimage.affine_transform(
-                data[b, c], mat, offset=offset, order=order_data,
-                mode="constant", cval=0.0)
+            data[b, c] = affine_transform_3d(
+                data[b, c], mat, offset, order=order_data, cval=0.0)
         if seg is not None:
             for c in range(seg.shape[1]):
-                seg[b, c] = ndimage.affine_transform(
-                    seg[b, c], mat, offset=offset, order=order_seg,
-                    mode="constant", cval=-1.0)
+                seg[b, c] = affine_transform_3d(
+                    seg[b, c], mat, offset, order=order_seg, cval=-1.0)
             np.rint(seg, out=seg)
     return batch
 

@@ -50,22 +50,24 @@ class PatchSampler:
         return lb, [lb[d] + ps[d] for d in range(dim)]
 
     def sample_case(self, idx, force_fg):
+        from segmamba_tpu.native import crop_pad
+
         item = self.dataset[idx]
         data, seg = item["data"], item.get("seg")
         props = item["properties"]
         shape = data.shape[1:]
         lb, ub = self.get_bbox(shape, force_fg, props.get("class_locations"))
+        # memmap-friendly: slice the valid region first, then crop_pad
         vlb = [max(0, l) for l in lb]
         vub = [min(shape[d], ub[d]) for d in range(len(shape))]
         sl = (slice(None),) + tuple(slice(a, b) for a, b in zip(vlb, vub))
-        d = np.asarray(data[sl], np.float32)
-        padding = [(-min(0, lb[i]), max(ub[i] - shape[i], 0))
-                   for i in range(len(shape))]
-        d = np.pad(d, ((0, 0), *padding), constant_values=0)
+        rel_lb = [lb[i] - vlb[i] for i in range(3)]
+        d = crop_pad(np.asarray(data[sl], np.float32), rel_lb,
+                     self.patch_size, 0.0)
         s = None
         if seg is not None:
-            s = np.asarray(seg[sl], np.float32)
-            s = np.pad(s, ((0, 0), *padding), constant_values=0)
+            s = crop_pad(np.asarray(seg[sl], np.float32), rel_lb,
+                         self.patch_size, 0.0)
         return d, s, props
 
     def generate_train_batch(self):
