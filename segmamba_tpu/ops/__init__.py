@@ -13,13 +13,18 @@ from segmamba_tpu.ops.selective_scan import (
 from segmamba_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
 from segmamba_tpu.ops.mamba_inner import mamba_inner
 from segmamba_tpu.ops.scan_pallas import selective_scan_pallas
+from segmamba_tpu.ops.selective_state_update import selective_state_update
+from segmamba_tpu.ops.fused_norm import layer_norm_fn, rms_norm_fn
 
 __all__ = [
     "selective_scan",
     "selective_scan_ref",
     "selective_scan_chunked",
     "selective_scan_pallas",
+    "selective_state_update",
     "causal_conv1d",
     "causal_conv1d_update",
     "mamba_inner",
+    "layer_norm_fn",
+    "rms_norm_fn",
 ]
