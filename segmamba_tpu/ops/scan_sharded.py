@@ -1,0 +1,194 @@
+"""Sequence-parallel selective scan over a device mesh.
+
+The reference handles its 262,144-token stage-0 sequences entirely within one
+GPU (intra-kernel chunking, selective_scan.cpp:307) and has **no** sequence/
+context parallelism (SURVEY.md §2.6). This module adds it the TPU way: the
+sequence axis is sharded over a named mesh axis, each device scans its local
+chunk, and the cross-device prefix state is combined with one small
+``all_gather`` — mathematically exact because the per-chunk decay factor has
+the closed form ``prod_t exp(delta_t A) = exp(A * sum_t delta_t)``:
+
+  1. local scan with zero initial state  -> y_loc, last_loc
+  2. all_gather the (decay, last) pairs  (ndev x batch x dim x dstate — tiny)
+  3. entry_i = sum_{j<i} (prod_{j<k<i} decay_k) last_j   (static ndev loop)
+  4. y += C_t · (exp(A · cumsum(delta)_t) * entry)       (local fix-up)
+
+The depthwise causal conv crosses shard boundaries with a (width-1)-token
+halo fetched from the left neighbour via ``ppermute`` — one ICI hop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from segmamba_tpu.ops.causal_conv1d import causal_conv1d
+from segmamba_tpu.ops.selective_scan import (
+    _postprocess,
+    _preprocess_delta,
+    selective_scan_chunked,
+)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs)
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
+
+
+def causal_conv1d_sharded_local(x, weight, bias, axis_name, activation=None):
+    """Per-shard causal conv with a left halo from the previous shard.
+    x: local (batch, L_loc, dim)."""
+    width = weight.shape[0]
+    n = lax.axis_size(axis_name)
+    # fetch the last (width-1) tokens of the LEFT neighbour
+    tail = x[:, -(width - 1):, :]
+    halo = lax.ppermute(tail, axis_name,
+                        perm=[(i, (i + 1) % n) for i in range(n)])
+    idx = lax.axis_index(axis_name)
+    halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+    xx = jnp.concatenate([halo, x], axis=1)
+    y = causal_conv1d(xx, weight, bias, activation=activation)
+    return y[:, width - 1:, :]
+
+
+def _scan_local_core(u, delta, A, B, C, impl, chunk_size):
+    """Local (zero-init) scan returning (y, last_state (B, D, N))."""
+    if impl == "pallas":
+        from segmamba_tpu.ops.scan_pallas import selective_scan_pallas
+        return selective_scan_pallas(u, delta, A, B, C,
+                                     return_last_state=True,
+                                     chunk_size=chunk_size)
+    return selective_scan_chunked(u, delta, A, B, C, return_last_state=True,
+                                  chunk_size=chunk_size)
+
+
+def selective_scan_sharded(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                           delta_softplus=False, *, mesh, seq_axis="seq",
+                           impl="auto", chunk_size=128):
+    """Selective scan with the sequence dim sharded over ``seq_axis``.
+
+    Same contract as ``selective_scan`` (time-major, time-varying B/C);
+    ``u/delta/B/C/z`` are sharded on dim 1, parameters replicated. Exact —
+    matches the single-device scan up to float32 rounding.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "chunked"
+
+    seq_spec = P(None, seq_axis, None)
+    has_d, has_z, has_bias = D is not None, z is not None, delta_bias is not None
+
+    def local_fn(u, delta, B, C, A, D_skip, bias, z):
+        n = lax.axis_size(seq_axis)
+        idx = lax.axis_index(seq_axis)
+        uf = u.astype(jnp.float32)
+        d = _preprocess_delta(delta, bias if has_bias else None,
+                              delta_softplus)
+        Af = A.astype(jnp.float32)
+        Bf = B.astype(jnp.float32)
+        Cf = C.astype(jnp.float32)
+
+        y_loc, last_loc = _scan_local_core(uf, d, Af, Bf, Cf, impl,
+                                           chunk_size)
+
+        # chunk decay: prod_t exp(d_t A) = exp(A * sum_t d_t)
+        sum_d = jnp.sum(d, axis=1)                       # (batch, dim)
+        decay = jnp.exp(sum_d[..., None] * Af)           # (batch, dim, N)
+
+        pair = jnp.stack([decay, last_loc], axis=0)      # (2, b, d, n)
+        gathered = lax.all_gather(pair, seq_axis)        # (ndev, 2, b, d, n)
+
+        # entry state for this shard: fold earlier shards' (decay, last)
+        entry = jnp.zeros_like(last_loc)
+        for j in range(n):
+            contrib_on = (j < idx).astype(jnp.float32)
+            scale_j = jnp.ones_like(decay)
+            for k in range(n):
+                use = jnp.logical_and(k > j, k < idx).astype(jnp.float32)
+                scale_j = scale_j * (gathered[k, 0] * use + (1.0 - use))
+            entry = entry + contrib_on * scale_j * gathered[j, 1]
+
+        # local fix-up: y_t += C_t · (exp(A·cumsum(d)_t) * entry)
+        cd = jnp.cumsum(d, axis=1)                        # (b, L, dim)
+        decay_t = jnp.exp(cd[..., None] * Af)             # (b, L, dim, N)
+        y_fix = jnp.einsum("bln,bldn->bld", Cf, decay_t * entry[:, None])
+        y = y_loc + y_fix
+        return _postprocess(y, u, D_skip if has_d else None,
+                            z if has_z else None, u.dtype)
+
+    fn = _shard_map(
+        local_fn, mesh,
+        in_specs=(seq_spec, seq_spec, seq_spec, seq_spec, P(), P(), P(),
+                  seq_spec),
+        out_specs=seq_spec)
+    dim = u.shape[-1]
+    return fn(u, delta, B, C, A,
+              D if has_d else jnp.zeros(dim, jnp.float32),
+              delta_bias if has_bias else jnp.zeros(dim, jnp.float32),
+              z if has_z else jnp.zeros_like(u))
+
+
+def mamba_inner_sharded(xz, conv_weight, conv_bias, x_proj, dt_proj, dt_bias,
+                        A, D_skip, *, d_state, mesh, seq_axis="seq",
+                        impl="auto", chunk_size=128):
+    """Sequence-parallel ``mamba_inner``: conv halo exchange + sharded scan.
+    xz: (batch, L, 2*d_inner) sharded on dim 1."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "chunked"
+    seq_spec = P(None, seq_axis, None)
+
+    def local_fn(xz, conv_w, conv_b, x_proj_w, dt_proj_w, dt_b, A_, D_):
+        d_inner = xz.shape[-1] // 2
+        x, zgate = xz[..., :d_inner], xz[..., d_inner:]
+        x = causal_conv1d_sharded_local(x, conv_w, conv_b, seq_axis,
+                                        activation="silu")
+        x_dbl = jnp.einsum("bld,de->ble", x, x_proj_w.astype(x.dtype))
+        dt_rank = x_proj_w.shape[1] - 2 * d_state
+        dt = jnp.einsum("blr,rd->bld", x_dbl[..., :dt_rank],
+                        dt_proj_w.astype(x.dtype))
+        Bm = x_dbl[..., dt_rank:dt_rank + d_state]
+        Cm = x_dbl[..., dt_rank + d_state:]
+
+        # inline the sharded scan (we're already inside shard_map)
+        n = lax.axis_size(seq_axis)
+        idx = lax.axis_index(seq_axis)
+        uf = x.astype(jnp.float32)
+        d = _preprocess_delta(dt, dt_b, True)
+        Af = A_.astype(jnp.float32)
+        y_loc, last_loc = _scan_local_core(uf, d, Af,
+                                           Bm.astype(jnp.float32),
+                                           Cm.astype(jnp.float32), impl,
+                                           chunk_size)
+        sum_d = jnp.sum(d, axis=1)
+        decay = jnp.exp(sum_d[..., None] * Af)
+        pair = jnp.stack([decay, last_loc], axis=0)
+        gathered = lax.all_gather(pair, seq_axis)
+        entry = jnp.zeros_like(last_loc)
+        for j in range(n):
+            on = (j < idx).astype(jnp.float32)
+            scale = jnp.ones_like(decay)
+            for k in range(n):
+                use = jnp.logical_and(k > j, k < idx).astype(jnp.float32)
+                scale = scale * (gathered[k, 0] * use + (1.0 - use))
+            entry = entry + on * scale * gathered[j, 1]
+        cd = jnp.cumsum(d, axis=1)
+        y_fix = jnp.einsum("bln,bldn->bld", Cm.astype(jnp.float32),
+                           jnp.exp(cd[..., None] * Af) * entry[:, None])
+        y = y_loc + y_fix
+        return _postprocess(y, x, D_, zgate, xz.dtype)
+
+    fn = _shard_map(local_fn, mesh,
+                    in_specs=(seq_spec, P(), P(), P(), P(), P(), P(), P()),
+                    out_specs=seq_spec)
+    return fn(xz, conv_weight,
+              conv_bias if conv_bias is not None
+              else jnp.zeros(conv_weight.shape[1], jnp.float32),
+              x_proj, dt_proj, dt_bias, A, D_skip)

@@ -1,0 +1,102 @@
+"""Sequence-parallel scan vs single-device reference (8 virtual CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmamba_tpu.ops import mamba_inner, selective_scan_ref
+from segmamba_tpu.ops.scan_sharded import (
+    mamba_inner_sharded,
+    selective_scan_sharded,
+)
+from segmamba_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def seq_mesh():
+    return make_mesh(8, axis_names=("seq",))
+
+
+def test_sharded_scan_matches_reference(seq_mesh):
+    rng = np.random.default_rng(0)
+    B, L, D, N = 2, 64, 6, 4
+    u = rng.standard_normal((B, L, D)).astype(np.float32)
+    delta = (0.3 * rng.standard_normal((B, L, D))).astype(np.float32)
+    A = -np.exp(0.3 * rng.standard_normal((D, N))).astype(np.float32)
+    Bm = rng.standard_normal((B, L, N)).astype(np.float32)
+    Cm = rng.standard_normal((B, L, N)).astype(np.float32)
+    Dsk = rng.standard_normal(D).astype(np.float32)
+    z = rng.standard_normal((B, L, D)).astype(np.float32)
+    bias = (0.1 * rng.standard_normal(D)).astype(np.float32)
+
+    want = selective_scan_ref(u, delta, A, Bm, Cm, D=Dsk, z=z,
+                              delta_bias=bias, delta_softplus=True)
+    got = selective_scan_sharded(u, delta, A, Bm, Cm, D=Dsk, z=z,
+                                 delta_bias=bias, delta_softplus=True,
+                                 mesh=seq_mesh, impl="chunked")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_scan_no_optionals(seq_mesh):
+    rng = np.random.default_rng(1)
+    B, L, D, N = 1, 32, 4, 4
+    u = rng.standard_normal((B, L, D)).astype(np.float32)
+    delta = np.abs(0.2 * rng.standard_normal((B, L, D))).astype(np.float32)
+    A = -np.ones((D, N), np.float32)
+    Bm = rng.standard_normal((B, L, N)).astype(np.float32)
+    Cm = rng.standard_normal((B, L, N)).astype(np.float32)
+    want = selective_scan_ref(u, delta, A, Bm, Cm)
+    got = selective_scan_sharded(u, delta, A, Bm, Cm, mesh=seq_mesh,
+                                 impl="chunked")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_mamba_inner_matches_local(seq_mesh):
+    """Full inner op (conv halo + projections + sharded scan) vs the
+    single-device mamba_inner."""
+    rng = np.random.default_rng(2)
+    B, L, Din, N, R = 1, 64, 8, 4, 2
+    xz = rng.standard_normal((B, L, 2 * Din)).astype(np.float32)
+    conv_w = (0.3 * rng.standard_normal((4, Din))).astype(np.float32)
+    conv_b = (0.1 * rng.standard_normal(Din)).astype(np.float32)
+    x_proj = (0.3 * rng.standard_normal((Din, R + 2 * N))).astype(np.float32)
+    dt_proj = (0.3 * rng.standard_normal((R, Din))).astype(np.float32)
+    dt_bias = (0.1 * rng.standard_normal(Din)).astype(np.float32)
+    A = -np.exp(0.3 * rng.standard_normal((Din, N))).astype(np.float32)
+    Dsk = np.ones(Din, np.float32)
+
+    want = mamba_inner(jnp.asarray(xz), conv_w, conv_b, x_proj, dt_proj,
+                       dt_bias, A, Dsk, d_state=N, impl="ref")
+    got = mamba_inner_sharded(jnp.asarray(xz), conv_w, conv_b, x_proj,
+                              dt_proj, dt_bias, A, Dsk, d_state=N,
+                              mesh=seq_mesh, impl="chunked")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_scan_grad(seq_mesh):
+    """shard_map composition must stay differentiable (training-ready SP)."""
+    rng = np.random.default_rng(3)
+    B, L, D, N = 1, 32, 4, 4
+    u = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    delta = jnp.asarray(0.2 * rng.standard_normal((B, L, D)), jnp.float32)
+    A = -jnp.ones((D, N), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, L, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((B, L, N)), jnp.float32)
+
+    def loss_sharded(u):
+        return jnp.sum(selective_scan_sharded(
+            u, delta, A, Bm, Cm, delta_softplus=True, mesh=seq_mesh,
+            impl="chunked") ** 2)
+
+    def loss_ref(u):
+        return jnp.sum(selective_scan_ref(
+            u, delta, A, Bm, Cm, delta_softplus=True) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_sharded))(u)
+    g2 = jax.grad(loss_ref)(u)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-3,
+                               atol=5e-4)
