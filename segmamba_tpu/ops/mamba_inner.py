@@ -49,6 +49,15 @@ def mamba_inner(xz, conv_weight, conv_bias, x_proj, dt_proj, dt_bias,
     B = x_dbl[..., dt_rank:dt_rank + d_state]
     C = x_dbl[..., dt_rank + d_state:]
 
+    use_fused = impl in ("auto", "pallas", "fused") and (
+        impl == "fused" or __import__("jax").default_backend() == "tpu")
+    if use_fused and dt_bias is not None and D_skip is not None:
+        # single-pass kernel: softplus + scan + D-skip + silu(z) gate fused,
+        # storage-dtype I/O (see scan_pallas_fused.py)
+        from segmamba_tpu.ops.scan_pallas_fused import mamba_scan_fused
+        return mamba_scan_fused(x, dt, z, A, B, C, D_skip, dt_bias,
+                                chunk_size=chunk_size)
+
     return selective_scan(
         x, dt, A, B, C, D=D_skip, z=z, delta_bias=dt_bias,
         delta_softplus=True, impl=impl, chunk_size=chunk_size,
