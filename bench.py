@@ -21,6 +21,13 @@ BASELINE_WINDOW_MS = 1510.0 / 18.0  # reference case time / windows per case
 
 def main():
     import jax
+    try:  # persistent compile cache: first driver run pays, reruns are fast
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/segmamba_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from segmamba_tpu.models import SegMamba
 

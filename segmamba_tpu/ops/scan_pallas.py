@@ -44,6 +44,16 @@ DEF_CHUNK = 128
 DEF_DBLOCK = 256
 
 
+def _pick_dblock(dim, d_block):
+    """Channel-block choice: take the whole channel dim when it fits in VMEM
+    comfortably (an unblocked trailing dim may be any size, avoiding pad
+    copies — SegMamba's d_inner of 96/192 hit this); otherwise 128-multiples
+    (384/768 divide evenly, so the model never pads channels)."""
+    if dim <= max(d_block, 256):
+        return dim
+    return min(d_block, _round_up(dim, 128))
+
+
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -306,7 +316,12 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     d = _preprocess_delta(delta, delta_bias, delta_softplus)
 
     T = min(chunk_size, _round_up(seqlen, 8))
-    Dblk = min(d_block, _round_up(dim, 128))
+    if T < 128 and _round_up(seqlen, 8) > T:
+        # Mosaic requires blocked trailing dims to be multiples of 128 and
+        # B/C carry time on lanes; sub-128 chunks are only legal when the
+        # whole (padded) sequence is a single chunk.
+        T = min(128, _round_up(seqlen, 8))
+    Dblk = _pick_dblock(dim, d_block)
     pad_l = (-seqlen) % T
     pad_d = (-dim) % Dblk
     # delta=0 padding => a=1, b=0 (identity); zero-channel padding is inert.

@@ -33,6 +33,7 @@ from segmamba_tpu.ops.scan_pallas import (
     _interpret,
     _pair_scan_fwd,
     _pair_scan_rev,
+    _pick_dblock,
     _round_up,
     _shift_up,
 )
@@ -246,7 +247,12 @@ def mamba_scan_fused(u, dt, z, A, B, C, D, dt_bias,
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
     T = min(chunk_size, _round_up(seqlen, 8))
-    Dblk = min(d_block, _round_up(dim, 128))
+    if T < 128 and _round_up(seqlen, 8) > T:
+        # Mosaic requires blocked trailing dims to be multiples of 128 and
+        # B/C carry time on lanes; sub-128 chunks are only legal when the
+        # whole (padded) sequence is a single chunk.
+        T = min(128, _round_up(seqlen, 8))
+    Dblk = _pick_dblock(dim, d_block)
     pad_l = (-seqlen) % T
     pad_d = (-dim) % Dblk
 
