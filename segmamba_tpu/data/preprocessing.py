@@ -102,6 +102,14 @@ def rescale_01(image):
     return (image - lo) / max(hi - lo, 1e-8)
 
 
+def ct_normalize_with_seg(image, seg=None, *, a_min, a_max, b_min=0.0,
+                          b_max=1.0, clip=True):
+    """(image, seg)-signature adapter for ``ct_normalize`` so a
+    functools.partial of it can serve as a picklable ``normalize_fn``."""
+    del seg
+    return ct_normalize(image, a_min, a_max, b_min, b_max, clip)
+
+
 # ---------------------------------------------------------------------------
 # resampling (default_resampling.py semantics, scipy backend)
 # ---------------------------------------------------------------------------
@@ -264,13 +272,14 @@ class MultiModalityPreprocessor:
     z-score, parallel over cases."""
 
     def __init__(self, base_dir, image_dir, data_filenames, seg_filename="",
-                 reader=None):
+                 reader=None, normalize_fn=None):
         self.base_dir = base_dir
         self.image_dir = image_dir
         self.data_filenames = list(data_filenames)
         self.seg_filename = seg_filename
-        # must be a module-level callable: workers pickle this object (spawn)
+        # must be module-level/partial callables: workers pickle this (spawn)
         self.reader = reader or _read_with_spacing
+        self.normalize_fn = normalize_fn or zscore_normalize
 
     def get_iterable_list(self):
         return sorted(os.listdir(os.path.join(self.base_dir, self.image_dir)))
@@ -296,6 +305,7 @@ class MultiModalityPreprocessor:
     def run_case(self, case_name):
         data, seg, properties = self.read_data(case_name)
         data, seg = run_case_npy(data, seg, properties, self.out_spacing,
+                                 normalize_fn=self.normalize_fn,
                                  all_labels=self.all_labels)
         return data, seg, properties
 
