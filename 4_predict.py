@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--mirror", type=int, nargs="*", default=[0, 1, 2])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--whole-volume", action="store_true",
+                    help="single-shot whole-volume forward instead of "
+                         "sliding windows (linear-time scan makes this "
+                         "feasible; see infer/whole_volume.py)")
     args = ap.parse_args()
 
     import jax
@@ -53,10 +57,20 @@ def main():
     def predictor_fn(wins):
         return fwd(params, wins)
 
-    inferer = SlidingWindowInferer(tuple(args.roi),
-                                   sw_batch_size=args.sw_batch_size,
-                                   overlap=args.overlap, mode="gaussian")
-    predictor = Predictor(inferer, mirror_axes=tuple(args.mirror))
+    if args.whole_volume:
+        from segmamba_tpu.infer.whole_volume import WholeVolumePredictor
+        predictor = WholeVolumePredictor(model, params,
+                                         mirror_axes=tuple(args.mirror))
+        # reuse the Predictor's inverse-pipeline statics
+        predictor.predict_raw_probability = Predictor.predict_raw_probability
+        predictor.predict_noncrop_probability = \
+            Predictor.predict_noncrop_probability
+        predictor.save_to_nii = Predictor.save_to_nii
+    else:
+        inferer = SlidingWindowInferer(tuple(args.roi),
+                                       sw_batch_size=args.sw_batch_size,
+                                       overlap=args.overlap, mode="gaussian")
+        predictor = Predictor(inferer, mirror_axes=tuple(args.mirror))
 
     _, _, test_ds = get_train_val_test_loader_from_train(args.data_dir)
     print(f"test cases: {len(test_ds)}")

@@ -1,13 +1,11 @@
 """Benchmark entry point (driver contract): prints ONE JSON line.
 
-Current headline: SegMamba 128^3-patch forward latency on one chip, the
-building block of sliding-window inference (the reference's eval protocol,
-4_predict.py:55-62). ``vs_baseline`` is the speedup vs the reference's
-published 1.51 s/case inference (images/segmamba_ablation.jpg) divided by
-the ~18 sliding windows of a 240x240x155 BraTS case at overlap 0.5 —
-i.e. an assumed ~83.9 ms/window on the authors' GPU.
-
-Once the sliding-window inferer lands this switches to volumes/sec/chip.
+Headline: BraTS-case sliding-window inference throughput (volumes/sec/chip)
+on a synthetic preprocessed-size case (150x180x150, 4 modalities), single
+pass (no TTA), roi 128^3 / overlap 0.5 / gaussian blending / sw_batch 2 —
+the reference's eval protocol (4_predict.py:55-62). ``vs_baseline`` compares
+against the reference's published 1.51 s/case inference time
+(images/segmamba_ablation.jpg) => 0.662 volumes/sec on the authors' GPU.
 """
 
 import json
@@ -15,8 +13,7 @@ import time
 
 import numpy as np
 
-
-BASELINE_WINDOW_MS = 1510.0 / 18.0  # reference case time / windows per case
+BASELINE_VOLS_PER_SEC = 1.0 / 1.51
 
 
 def main():
@@ -29,30 +26,40 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
+    from segmamba_tpu.infer import SlidingWindowInferer
     from segmamba_tpu.models import SegMamba
 
     model = SegMamba(in_chans=4, out_chans=4, dtype=jnp.bfloat16)
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((1, 128, 128, 128, 4)),
+    x128 = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x128)
+    fwd = jax.jit(model.apply)
+
+    def predictor(w):
+        return fwd(params, w)
+
+    case = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 150, 180, 150, 4)),
         jnp.float32)
-    params = jax.jit(model.init)(jax.random.key(0), x)
+    inferer = SlidingWindowInferer((128, 128, 128), sw_batch_size=2,
+                                   overlap=0.5)
 
     @jax.jit
-    def fwd_sum(params, x):
-        return jnp.sum(model.apply(params, x))
+    def fetch(o):
+        return jnp.sum(o)
 
-    float(fwd_sum(params, x))  # compile
+    float(fetch(inferer(case, predictor, num_classes=4)))  # compile
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        float(fwd_sum(params, x))  # scalar fetch forces full sync
+        float(fetch(inferer(case, predictor, num_classes=4)))
         times.append(time.perf_counter() - t0)
-    ms = min(times) * 1000.0
+    sec = min(times)
+    vps = 1.0 / sec
     print(json.dumps({
-        "metric": "segmamba_128cube_patch_fwd",
-        "value": round(ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_WINDOW_MS / ms, 3),
+        "metric": "brats_case_sliding_window_inference",
+        "value": round(vps, 4),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(vps / BASELINE_VOLS_PER_SEC, 3),
     }))
 
 

@@ -55,6 +55,53 @@ def gaussian_importance_map(roi_size, sigma_scale=0.125, dtype=np.float32):
     return m
 
 
+@functools.partial(jax.jit, static_argnames=("roi_size",))
+def _gather_group(volume, starts, roi_size):
+    rz, ry, rx = roi_size
+
+    def gather(s):
+        return lax.dynamic_slice(volume, (s[0], s[1], s[2], 0),
+                                 (rz, ry, rx, volume.shape[-1]))
+
+    return jax.vmap(gather)(starts)
+
+
+@functools.partial(jax.jit, static_argnames=("sw_batch_size",))
+def _scatter_group(out, cnt, logits, starts, wmask, importance,
+                   sw_batch_size):
+    rz, ry, rx = logits.shape[1:4]
+    num_classes = logits.shape[-1]
+    imp = importance.astype(jnp.float32)[..., None]
+    w = imp[None] * wmask[:, None, None, None, None]
+    contrib = logits.astype(jnp.float32) * w
+    for i in range(sw_batch_size):
+        idx = (starts[i, 0], starts[i, 1], starts[i, 2], 0)
+        cur = lax.dynamic_slice(out, idx, (rz, ry, rx, num_classes))
+        out = lax.dynamic_update_slice(out, cur + contrib[i], idx)
+        curc = lax.dynamic_slice(cnt, idx, (rz, ry, rx, 1))
+        cnt = lax.dynamic_update_slice(cnt, curc + w[i], idx)
+    return out, cnt
+
+
+def _sliding_window_hostloop(volume, starts, wmask, importance, predictor,
+                             roi_size, sw_batch_size, num_classes):
+    """Python loop over window groups with three small device programs
+    (gather / predictor / scatter). Keeps each compile payload bounded —
+    needed where jit programs travel a size-limited remote-compile hop —
+    and reuses one executable per shape across all groups and cases."""
+    Z, Y, X, _ = volume.shape
+    out = jnp.zeros((Z, Y, X, num_classes), jnp.float32)
+    cnt = jnp.zeros((Z, Y, X, 1), jnp.float32)
+    imp = jnp.asarray(importance)
+    for g in range(starts.shape[0]):
+        s = jnp.asarray(starts[g])
+        wins = _gather_group(volume, s, roi_size)
+        logits = predictor(wins)
+        out, cnt = _scatter_group(out, cnt, logits, s,
+                                  jnp.asarray(wmask[g]), imp, sw_batch_size)
+    return out / jnp.maximum(cnt, 1e-8)
+
+
 @functools.partial(jax.jit, static_argnames=("predictor", "roi_size",
                                              "sw_batch_size", "num_classes"))
 def _sliding_window_jit(volume, starts, wmask, importance, predictor,
@@ -92,7 +139,7 @@ def _sliding_window_jit(volume, starts, wmask, importance, predictor,
 
 def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
                              sw_batch_size=2, num_classes=None, bucket=32,
-                             mode="gaussian"):
+                             mode="gaussian", host_loop=None):
     """Gaussian-blended sliding-window prediction.
 
     Args:
@@ -137,9 +184,16 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
     if num_classes is None:
         probe = predictor(jnp.zeros((1, *roi_size, C), jnp.float32))
         num_classes = probe.shape[-1]
-    out = _sliding_window_jit(vol, jnp.asarray(starts), jnp.asarray(wmask),
-                              jnp.asarray(imp), predictor, roi_size, sw,
-                              int(num_classes))
+    if host_loop is None:
+        # single fused program is preferable, but remote-compile hops with
+        # bounded request sizes (this container's relay) need per-group jits
+        import os
+        host_loop = (jax.default_backend() == "tpu"
+                     and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1")
+    runner = _sliding_window_hostloop if host_loop else _sliding_window_jit
+    out = runner(vol, jnp.asarray(starts), jnp.asarray(wmask),
+                 jnp.asarray(imp), predictor, roi_size, sw,
+                 int(num_classes))
     out = out[:Z, :Y, :X]
     return out if squeeze else out[None]
 

@@ -1,0 +1,77 @@
+"""Whole-volume single-shot inference + distributed eval helpers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from segmamba_tpu.infer.whole_volume import (
+    WholeVolumePredictor,
+    num_slices_for_shape,
+    pad_to_multiple,
+    whole_volume_inference,
+)
+from segmamba_tpu.models import SegMamba
+from segmamba_tpu.parallel.eval import (
+    distributed_concat,
+    eval_map,
+    sequential_shards,
+)
+
+TINY = dict(in_chans=2, out_chans=3, depths=(1, 1, 1, 1),
+            feat_size=(4, 8, 16, 32), hidden_size=64,
+            num_slices_list=(8, 4, 2, 1), scan_impl="ref")
+
+
+def test_num_slices_for_shape():
+    assert num_slices_for_shape((128, 128, 128)) == (64, 32, 16, 8)
+    assert num_slices_for_shape((160, 240, 240)) == (80, 40, 20, 10)
+
+
+def test_pad_to_multiple():
+    v = jnp.zeros((1, 20, 22, 24, 2))
+    p, orig = pad_to_multiple(v, 16)
+    assert p.shape == (1, 32, 32, 32, 2)
+    assert orig == (20, 22, 24)
+
+
+def test_whole_volume_matches_direct_on_exact_shape():
+    """On an already-divisible shape with the matching num_slices_list, the
+    whole-volume path must equal a plain forward."""
+    model = SegMamba(**TINY)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    direct = model.apply(params, x)
+    wv = whole_volume_inference(model, params, x, multiple=16)
+    np.testing.assert_allclose(np.asarray(wv), np.asarray(direct),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_whole_volume_ragged_shape():
+    """A non-divisible volume runs via padding and returns original size;
+    weights are shared with the patch model (shape-agnostic params)."""
+    model = SegMamba(**TINY)
+    rng = np.random.default_rng(1)
+    x16 = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)), jnp.float32)
+    params = model.init(jax.random.key(0), x16)
+    x = jnp.asarray(rng.standard_normal((1, 20, 22, 24, 2)), jnp.float32)
+    out = whole_volume_inference(model, params, x, multiple=16)
+    assert out.shape == (1, 20, 22, 24, 3)
+    assert bool(jnp.isfinite(out).all())
+
+    pred = WholeVolumePredictor(model, params, mirror_axes=(0,))
+    tta = pred.maybe_mirror_and_predict(x)
+    assert tta.shape == (1, 20, 22, 24, 3)
+
+
+def test_sequential_shards_and_concat():
+    shards, mask = sequential_shards(10, 4)
+    assert len(shards) == 4 and all(len(s) == 3 for s in shards)
+    # wrap-around padding at the end
+    flat_results = [np.asarray([i]) for s in shards for i in s]
+    out = distributed_concat([np.concatenate([np.asarray([i]) for i in s])
+                              for s in shards], 10)
+    np.testing.assert_array_equal(out, np.arange(10))
+
+    got = eval_map(lambda x: x * 2, list(range(7)), n_shards=3)
+    assert got == [0, 2, 4, 6, 8, 10, 12]
