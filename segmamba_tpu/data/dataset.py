@@ -95,3 +95,46 @@ def get_kfold_data(paths, k=5, seed=3):
 def get_test_loader_from_test(data_dir):
     paths = sorted(glob.glob(f"{data_dir}/*.npz"))
     return MedicalDataset(paths, test=True)
+
+
+def get_train_val_test_loader_from_split_json(data_dir, split_json_file):
+    """Named splits from a json file {'train': [...], 'validation': [...],
+    'test': [...]} of case filenames (dataset.py:213-241)."""
+    import json
+
+    with open(split_json_file) as f:
+        datalist = json.load(f)
+    make = lambda names: MedicalDataset(
+        [os.path.join(data_dir, n) for n in names])
+    return (make(datalist["train"]), make(datalist["validation"]),
+            make(datalist["test"]))
+
+
+class GlobalPatchDataset(MedicalDataset):
+    """Dual-stream dataset: each item carries a fixed-size downsampled
+    whole-volume context next to the full-res case (the SegMamba-V2 hook,
+    dataloading_global/dataset.py:27-103). The global stream is computed
+    once per case and cached as ``_global.npy`` next to the data."""
+
+    def __init__(self, datalist, global_size=(64, 64, 64), test=False):
+        super().__init__(datalist, test=test)
+        self.global_size = tuple(global_size)
+        self._ensure_globals()
+
+    def _ensure_globals(self):
+        from scipy import ndimage
+        for path in self.datalist:
+            gpath = path.replace(".npz", "_global.npy")
+            if os.path.isfile(gpath):
+                continue
+            data = np.load(path.replace(".npz", ".npy"), mmap_mode="r")
+            zoom = [1.0] + [t / s for t, s in zip(self.global_size,
+                                                  data.shape[1:])]
+            g = ndimage.zoom(np.asarray(data, np.float32), zoom, order=1)
+            np.save(gpath, g.astype(np.float32))
+
+    def __getitem__(self, i):
+        item = super().__getitem__(i)
+        gpath = self.datalist[i].replace(".npz", "_global.npy")
+        item["data_global"] = np.load(gpath, mmap_mode="r")
+        return item

@@ -55,6 +55,7 @@ class PatchSampler:
         item = self.dataset[idx]
         data, seg = item["data"], item.get("seg")
         props = item["properties"]
+        gvol = item.get("data_global")
         shape = data.shape[1:]
         lb, ub = self.get_bbox(shape, force_fg, props.get("class_locations"))
         # memmap-friendly: slice the valid region first, then crop_pad
@@ -68,18 +69,21 @@ class PatchSampler:
         if seg is not None:
             s = crop_pad(np.asarray(seg[sl], np.float32), rel_lb,
                          self.patch_size, 0.0)
-        return d, s, props
+        g = None if gvol is None else np.asarray(gvol, np.float32)
+        return d, s, props, g
 
     def generate_train_batch(self):
         """One batch dict {'data': (B,C,*ps), 'seg': (B,1,*ps), 'properties',
         'keys'} — the reference's batch contract (base_data_loader.py:122-127)."""
         keys = self.rng.integers(0, len(self.dataset), self.batch_size)
-        datas, segs, props = [], [], []
+        datas, segs, props, globals_ = [], [], [], []
         for j, k in enumerate(keys):
-            d, s, p = self.sample_case(int(k), self._force_fg(j))
+            d, s, p, g = self.sample_case(int(k), self._force_fg(j))
             datas.append(d)
             segs.append(s)
             props.append(p)
+            if g is not None:
+                globals_.append(g)
         batch = {
             "data": np.stack(datas).astype(np.float32),
             "properties": props,
@@ -87,6 +91,9 @@ class PatchSampler:
         }
         if segs[0] is not None:
             batch["seg"] = np.stack(segs).astype(np.float32)
+        if globals_:
+            # whole-volume context stream (base_data_loader.py:108-127)
+            batch["data_global"] = np.stack(globals_)
         return batch
 
     def __next__(self):

@@ -209,3 +209,31 @@ def test_loader_inline_and_workers(preprocessed_dir):
         got = [next(iter([b])) for b in ld]
     assert len(got) == 4
     assert got[0]["image"].shape == (2, 16, 16, 16, 2)
+
+
+def test_json_split_and_global_dataset(preprocessed_dir, tmp_path):
+    import json
+    from segmamba_tpu.data.dataset import (
+        GlobalPatchDataset,
+        get_train_val_test_loader_from_split_json,
+    )
+    from segmamba_tpu.data import PatchSampler
+
+    names = [f for f in sorted(os.listdir(preprocessed_dir))
+             if f.endswith(".npz")]
+    split = {"train": names[:1], "validation": names[1:2], "test": names[2:]}
+    sp = tmp_path / "split.json"
+    sp.write_text(json.dumps(split))
+    tr, va, te = get_train_val_test_loader_from_split_json(
+        preprocessed_dir, str(sp))
+    assert len(tr) == 1 and len(va) == 1 and len(te) == 1
+
+    gds = GlobalPatchDataset(
+        [os.path.join(preprocessed_dir, n) for n in names[:2]],
+        global_size=(8, 8, 8))
+    item = gds[0]
+    assert item["data_global"].shape[1:] == (8, 8, 8)
+    sampler = PatchSampler(gds, patch_size=(16, 16, 16), batch_size=2,
+                           rng=np.random.default_rng(0))
+    batch = sampler.generate_train_batch()
+    assert batch["data_global"].shape == (2, 2, 8, 8, 8)

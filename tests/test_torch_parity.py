@@ -1,0 +1,122 @@
+"""Numeric parity of building blocks vs torch CPU references.
+
+The reference is a torch model; these tests pin our channels-last flax
+blocks to torch's NCDHW semantics by loading identical weights into both and
+comparing outputs (conv, transposed conv, instance norm, layer norm,
+UnetResBlock wiring)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from segmamba_tpu.models.layers import Conv3d, ConvTranspose3d, instance_norm
+from segmamba_tpu.models.unetr_blocks import UnetResBlock
+
+
+def _to_torch_in(x_jax):
+    # (B, Z, Y, X, C) -> (B, C, Z, Y, X)
+    return torch.from_numpy(np.moveaxis(np.asarray(x_jax), -1, 1).copy())
+
+
+def _from_torch_out(t):
+    return np.moveaxis(t.detach().numpy(), 1, -1)
+
+
+def test_conv3d_matches_torch():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 7, 8, 3)), jnp.float32)
+    m = Conv3d(5, kernel_size=3, stride=2, padding=1)
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+
+    tm = torch.nn.Conv3d(3, 5, 3, stride=2, padding=1)
+    k = np.asarray(params["params"]["Conv_0"]["kernel"])  # (kz,ky,kx,Cin,Cout)
+    with torch.no_grad():
+        tm.weight.copy_(torch.from_numpy(
+            np.transpose(k, (4, 3, 0, 1, 2)).copy()))
+        tm.bias.copy_(torch.from_numpy(
+            np.asarray(params["params"]["Conv_0"]["bias"])))
+    want = _from_torch_out(tm(_to_torch_in(x)))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_transpose3d_matches_torch():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 5, 6, 4)), jnp.float32)
+    m = ConvTranspose3d(3, kernel_size=2, stride=2, use_bias=False)
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+
+    tm = torch.nn.ConvTranspose3d(4, 3, 2, stride=2, bias=False)
+    k = np.asarray(params["params"]["ConvTranspose_0"]["kernel"])
+    # flax ConvTranspose kernel: (kz,ky,kx,Cin,Cout); torch: (Cin,Cout,kz,ky,kx)
+    # and the two parameterizations differ by a spatial flip (same function
+    # family — equivalent up to kernel reorientation)
+    k = k[::-1, ::-1, ::-1]
+    with torch.no_grad():
+        tm.weight.copy_(torch.from_numpy(
+            np.transpose(k, (3, 4, 0, 1, 2)).copy()))
+    want = _from_torch_out(tm(_to_torch_in(x)))
+    assert out.shape == (1, 8, 10, 12, 3)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_instance_norm_matches_torch():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 5, 6, 7, 4)), jnp.float32)
+    out = instance_norm(x)
+    tm = torch.nn.InstanceNorm3d(4)  # affine=False, eps=1e-5 (torch default)
+    want = _from_torch_out(tm(_to_torch_in(x)))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_layernorm_matches_torch():
+    from flax import linen as nn
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 10, 8)), jnp.float32)
+    m = nn.LayerNorm(epsilon=1e-5)
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    tm = torch.nn.LayerNorm(8)
+    want = tm(torch.from_numpy(np.asarray(x))).detach().numpy()
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_unet_res_block_matches_torch():
+    """Full block wiring: conv-IN-lrelu x2 + projected residual
+    (dynunet_block.py:25-111 semantics)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 6, 3)), jnp.float32)
+    m = UnetResBlock(5, kernel_size=3, stride=1)
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+
+    p = params["params"]
+
+    class TorchRes(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv3d(3, 5, 3, 1, 1, bias=False)
+            self.conv2 = torch.nn.Conv3d(5, 5, 3, 1, 1, bias=False)
+            self.conv3 = torch.nn.Conv3d(3, 5, 1, 1, 0, bias=False)
+            self.norm = torch.nn.InstanceNorm3d(5)
+            self.act = torch.nn.LeakyReLU(0.01)
+
+        def forward(self, x):
+            r = self.norm(self.conv3(x))
+            h = self.act(self.norm(self.conv1(x)))
+            h = self.norm(self.conv2(h))
+            return self.act(h + r)
+
+    tm = TorchRes()
+    with torch.no_grad():
+        for tw, key in [(tm.conv1, "conv1"), (tm.conv2, "conv2"),
+                        (tm.conv3, "conv3")]:
+            k = np.asarray(p[key]["Conv_0"]["kernel"])
+            tw.weight.copy_(torch.from_numpy(
+                np.transpose(k, (4, 3, 0, 1, 2)).copy()))
+    want = _from_torch_out(tm(_to_torch_in(x)))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-3, atol=1e-4)
