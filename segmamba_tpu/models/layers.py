@@ -42,11 +42,14 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     x: (batch, *spatial, C); statistics per (batch, channel).
     """
     axes = tuple(range(1, x.ndim - 1))
+    # statistics in f32 (tiny), normalization arithmetic in the storage
+    # dtype: keeps the large temporaries bf16 during training (an f32
+    # upcast here doubles the dominant decoder activation memory)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=axes, keepdims=True)
-    var = jnp.var(xf, axis=axes, keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return out.astype(x.dtype)
+    var = jnp.mean(xf * xf, axis=axes, keepdims=True) - mean * mean
+    scale = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    return ((x - mean.astype(x.dtype)) * scale.astype(x.dtype)).astype(x.dtype)
 
 
 class Conv3d(nn.Module):

@@ -162,22 +162,27 @@ class SegMamba(nn.Module):
     @nn.compact
     def __call__(self, x_in):
         f = self.feat_size
+        basic, up = UnetrBasicBlock, UnetrUpBlock
+        if self.remat:
+            # full-res decoder activations dominate training memory; remat
+            # them like the encoder's mamba layers
+            basic, up = nn.remat(UnetrBasicBlock), nn.remat(UnetrUpBlock)
         outs = MambaEncoder(
             in_chans=self.in_chans, depths=self.depths, dims=f,
             num_slices_list=self.num_slices_list, scan_impl=self.scan_impl,
             remat=self.remat, dtype=self.dtype, name="vit")(x_in)
 
-        enc1 = UnetrBasicBlock(f[0], dtype=self.dtype, name="encoder1")(x_in)
-        enc2 = UnetrBasicBlock(f[1], dtype=self.dtype, name="encoder2")(outs[0])
-        enc3 = UnetrBasicBlock(f[2], dtype=self.dtype, name="encoder3")(outs[1])
-        enc4 = UnetrBasicBlock(f[3], dtype=self.dtype, name="encoder4")(outs[2])
-        enc_hidden = UnetrBasicBlock(self.hidden_size, dtype=self.dtype,
-                                     name="encoder5")(outs[3])
+        enc1 = basic(f[0], dtype=self.dtype, name="encoder1")(x_in)
+        enc2 = basic(f[1], dtype=self.dtype, name="encoder2")(outs[0])
+        enc3 = basic(f[2], dtype=self.dtype, name="encoder3")(outs[1])
+        enc4 = basic(f[3], dtype=self.dtype, name="encoder4")(outs[2])
+        enc_hidden = basic(self.hidden_size, dtype=self.dtype,
+                           name="encoder5")(outs[3])
 
-        dec3 = UnetrUpBlock(f[3], dtype=self.dtype, name="decoder5")(enc_hidden, enc4)
-        dec2 = UnetrUpBlock(f[2], dtype=self.dtype, name="decoder4")(dec3, enc3)
-        dec1 = UnetrUpBlock(f[1], dtype=self.dtype, name="decoder3")(dec2, enc2)
-        dec0 = UnetrUpBlock(f[0], dtype=self.dtype, name="decoder2")(dec1, enc1)
-        out = UnetrBasicBlock(f[0], dtype=self.dtype, name="decoder1")(dec0)
+        dec3 = up(f[3], dtype=self.dtype, name="decoder5")(enc_hidden, enc4)
+        dec2 = up(f[2], dtype=self.dtype, name="decoder4")(dec3, enc3)
+        dec1 = up(f[1], dtype=self.dtype, name="decoder3")(dec2, enc2)
+        dec0 = up(f[0], dtype=self.dtype, name="decoder2")(dec1, enc1)
+        out = basic(f[0], dtype=self.dtype, name="decoder1")(dec0)
         logits = UnetOutBlock(self.out_chans, dtype=self.dtype, name="out")(out)
         return logits.astype(jnp.float32)

@@ -45,13 +45,15 @@ DEF_DBLOCK = 256
 
 
 def _pick_dblock(dim, d_block):
-    """Channel-block choice: take the whole channel dim when it fits in VMEM
-    comfortably (an unblocked trailing dim may be any size, avoiding pad
-    copies — SegMamba's d_inner of 96/192 hit this); otherwise 128-multiples
-    (384/768 divide evenly, so the model never pads channels)."""
-    if dim <= max(d_block, 256):
+    """Channel-block choice. The backward kernel holds ~12 live
+    (dstate, T, Dblk) float32 arrays; at T=128/N=16 that caps Dblk at 128
+    (VMEM is 16MB — Dblk=192 makes Mosaic's compile fail on VMEM). Below
+    128 the trailing dim is unblocked (any size, no pad copies — SegMamba's
+    stage-0 d_inner=96 hits this); above, 128-blocks (384/768 divide evenly;
+    192 pads to 256)."""
+    if dim <= 128:
         return dim
-    return min(d_block, _round_up(dim, 128))
+    return min(d_block, 128)
 
 
 def _cdiv(a, b):

@@ -231,7 +231,9 @@ def _make_core(T, Dblk):
             u, dt, z, At, Bt, Ct, bias, Dv, dout.astype(jnp.float32),
             states, T, Dblk)
         return (du.astype(u.dtype), ddt.astype(dt.dtype), dz.astype(z.dtype),
-                dAt, dBt, dCt, dbias, dDv)
+                dAt.astype(At.dtype), dBt.astype(Bt.dtype),
+                dCt.astype(Ct.dtype), dbias.astype(bias.dtype),
+                dDv.astype(Dv.dtype))
 
     core.defvjp(core_fwd, core_bwd)
     return core

@@ -90,3 +90,21 @@ def test_fused_bf16():
                               delta_softplus=True)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_fused_bf16_gradients():
+    """Grad dtypes must match bf16 primals (train path runs fully in bf16)."""
+    rng = np.random.default_rng(4)
+    u, dt, z, A, Bm, Cm, Dv, bias = make_inputs(rng, 1, 64, 8, 4)
+    bf = jnp.bfloat16
+    args = (jnp.asarray(u, bf), jnp.asarray(dt, bf), jnp.asarray(z, bf),
+            jnp.asarray(A), jnp.asarray(Bm, bf), jnp.asarray(Cm, bf),
+            jnp.asarray(Dv), jnp.asarray(bias))
+
+    def loss(*a):
+        return jnp.sum(mamba_scan_fused(*a).astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=range(8))(*args)
+    for g, a in zip(grads, args):
+        assert g.dtype == a.dtype, (g.dtype, a.dtype)
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
