@@ -40,7 +40,9 @@ def main():
     case = jnp.asarray(
         np.random.default_rng(0).standard_normal((1, 150, 180, 150, 4)),
         jnp.float32)
-    inferer = SlidingWindowInferer((128, 128, 128), sw_batch_size=2,
+    # sw_batch 1 outperforms 2 on the 16GB dev chip (batch-2 windows hit
+    # memory pressure); the reference's own training inferer also uses 1
+    inferer = SlidingWindowInferer((128, 128, 128), sw_batch_size=1,
                                    overlap=0.5)
 
     @jax.jit
