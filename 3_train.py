@@ -33,9 +33,23 @@ def main():
                     help="shard the batch over all local devices")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
+    # model-size overrides (debug/small-scale runs; defaults = BraTS recipe)
+    ap.add_argument("--feats", type=int, nargs=4, default=[48, 96, 192, 384])
+    ap.add_argument("--depths", type=int, nargs=4, default=[2, 2, 2, 2])
+    ap.add_argument("--hidden-size", type=int, default=768)
+    ap.add_argument("--num-slices", type=int, nargs=4,
+                    default=[64, 32, 16, 8])
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--split", type=float, nargs=3, default=[0.7, 0.1, 0.2],
+                    help="train/val/test fractions (seed-42 shuffle)")
     args = ap.parse_args()
+    if args.cpu:
+        import os as _os
+        _os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from segmamba_tpu.data import get_train_val_test_loader_from_train
     from segmamba_tpu.models import SegMamba
@@ -94,8 +108,11 @@ def main():
             return mean_dice
 
     mesh = make_mesh() if args.data_parallel else None
-    model = SegMamba(in_chans=4, out_chans=4, depths=(2, 2, 2, 2),
-                     feat_size=(48, 96, 192, 384), dtype=dtype)
+    model = SegMamba(in_chans=4, out_chans=4, depths=tuple(args.depths),
+                     feat_size=tuple(args.feats),
+                     hidden_size=args.hidden_size,
+                     num_slices_list=tuple(args.num_slices), dtype=dtype,
+                     remat=True)
     trainer = BraTSTrainer(
         model, args.logdir, max_epochs=args.max_epochs,
         batch_size=args.batch_size, val_every=args.val_every,
@@ -108,7 +125,8 @@ def main():
         seed=args.seed, resume=args.resume)
 
     train_ds, val_ds, test_ds = get_train_val_test_loader_from_train(
-        args.data_dir)
+        args.data_dir, train_rate=args.split[0], val_rate=args.split[1],
+        test_rate=args.split[2])
     trainer.train(train_ds, val_ds)
 
 

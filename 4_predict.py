@@ -27,9 +27,23 @@ def main():
                     help="single-shot whole-volume forward instead of "
                          "sliding windows (linear-time scan makes this "
                          "feasible; see infer/whole_volume.py)")
+    # model-size overrides matching 3_train.py
+    ap.add_argument("--feats", type=int, nargs=4, default=[48, 96, 192, 384])
+    ap.add_argument("--depths", type=int, nargs=4, default=[2, 2, 2, 2])
+    ap.add_argument("--hidden-size", type=int, default=768)
+    ap.add_argument("--num-slices", type=int, nargs=4,
+                    default=[64, 32, 16, 8])
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--split", type=float, nargs=3, default=[0.7, 0.1, 0.2],
+                    help="train/val/test fractions (must match 3_train)")
     args = ap.parse_args()
+    if args.cpu:
+        import os as _os
+        _os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from segmamba_tpu.data import get_train_val_test_loader_from_train
     from segmamba_tpu.infer import Predictor, SlidingWindowInferer
@@ -39,7 +53,10 @@ def main():
     from segmamba_tpu.train import checkpoint as ckpt
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = SegMamba(in_chans=4, out_chans=4, dtype=dtype)
+    model = SegMamba(in_chans=4, out_chans=4, depths=tuple(args.depths),
+                     feat_size=tuple(args.feats),
+                     hidden_size=args.hidden_size,
+                     num_slices_list=tuple(args.num_slices), dtype=dtype)
 
     path = args.checkpoint
     if not os.path.basename(path).split("_")[-1].replace(".", "").isdigit():
@@ -72,7 +89,9 @@ def main():
                                        overlap=args.overlap, mode="gaussian")
         predictor = Predictor(inferer, mirror_axes=tuple(args.mirror))
 
-    _, _, test_ds = get_train_val_test_loader_from_train(args.data_dir)
+    _, _, test_ds = get_train_val_test_loader_from_train(
+        args.data_dir, train_rate=args.split[0], val_rate=args.split[1],
+        test_rate=args.split[2])
     print(f"test cases: {len(test_ds)}")
     all_dices = []
     for i in range(len(test_ds)):
