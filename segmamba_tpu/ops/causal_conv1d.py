@@ -43,16 +43,12 @@ def causal_conv1d(x, weight, bias=None, activation=None):
     y = jnp.zeros_like(xf)
     for i in range(width):
         # xp[:, i : i + L][t] == x[t + i - (W-1)]
-        y = y + w[i] * lax_slice_time(xp, i, seqlen)
+        y = y + w[i] * jax.lax.dynamic_slice_in_dim(xp, i, seqlen, axis=1)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     if activation in ("silu", "swish"):
         y = jax.nn.silu(y)
     return y.astype(dtype)
-
-
-def lax_slice_time(x, start, length):
-    return jax.lax.dynamic_slice_in_dim(x, start, length, axis=1)
 
 
 def causal_conv1d_update(x_new, conv_state, weight, bias=None, activation=None):

@@ -56,10 +56,6 @@ def _pick_dblock(dim, d_block):
     return min(d_block, 128)
 
 
-def _cdiv(a, b):
-    return -(-a // b)
-
-
 def _shift_down(arr, k, fill):
     """arr[:, t] -> arr[:, t-k]; first k timesteps become `fill`."""
     T = arr.shape[1]

@@ -19,8 +19,6 @@ halo fetched from the left neighbour via ``ppermute`` — one ICI hop.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -32,13 +32,9 @@ selective_scan.cpp:235-236) and cast the output back to the input dtype.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-
-Array = jax.Array
 
 
 def _preprocess_delta(delta, delta_bias, delta_softplus):

@@ -16,7 +16,6 @@ import glob
 import os
 import shutil
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

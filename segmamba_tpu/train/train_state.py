@@ -11,7 +11,7 @@ annotations, and grad-clip 12 + SGD(nesterov, momentum 0.99) mirror
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
