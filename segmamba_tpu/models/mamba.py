@@ -134,6 +134,41 @@ class MambaV3(nn.Module):
             d_state=self.d_state, impl=self.scan_impl,
             chunk_size=self.scan_chunk)
 
+    def _run_directions_batched(self, xz3, params3, batch):
+        """All three orientations as ONE batched inner op: the direction
+        index rides the batch dim, per-direction weights become per-batch
+        kernel parameters (one fused scan launch instead of three; SURVEY.md
+        §7.3's vmapped-direction design)."""
+        from segmamba_tpu.ops.causal_conv1d import causal_conv1d_grouped
+        from segmamba_tpu.ops.scan_pallas_fused import mamba_scan_fused
+
+        conv_w3, conv_b3, x_proj3, dt_proj3, dt_bias3, A_log3, D3 = params3
+        g = conv_w3.shape[0]
+        d_inner = xz3.shape[-1] // 2
+        dt_rank = x_proj3.shape[-1] - 2 * self.d_state
+        x3, z3 = xz3[..., :d_inner], xz3[..., d_inner:]
+
+        x3 = causal_conv1d_grouped(
+            x3, conv_w3.astype(self.dtype),
+            None if conv_b3 is None else conv_b3.astype(self.dtype),
+            batch, activation="silu")
+        # grouped projections: (g·b, L, Din) x (g, Din, E)
+        L = x3.shape[1]
+        xg = x3.reshape(g, batch, L, d_inner)
+        x_dbl = jnp.einsum("gbld,gde->gble", xg, x_proj3.astype(x3.dtype))
+        dt = jnp.einsum("gblr,grd->gbld", x_dbl[..., :dt_rank],
+                        dt_proj3.astype(x3.dtype))
+        Bm = x_dbl[..., dt_rank:dt_rank + self.d_state]
+        Cm = x_dbl[..., dt_rank + self.d_state:]
+        flat = lambda a: a.reshape(g * batch, L, a.shape[-1])
+
+        A3 = -jnp.exp(A_log3.astype(jnp.float32))        # (g, Din, N)
+        rep = lambda p: jnp.repeat(p, batch, axis=0)      # (g·b, ...)
+        return mamba_scan_fused(
+            x3, flat(dt), z3, rep(A3), flat(Bm), flat(Cm),
+            rep(D3.astype(jnp.float32)), rep(dt_bias3.astype(jnp.float32)),
+            chunk_size=self.scan_chunk)
+
     @nn.compact
     def __call__(self, hidden_states):
         """hidden_states: (batch, L, d_model) -> same shape."""
@@ -153,12 +188,26 @@ class MambaV3(nn.Module):
         p_b = self._direction_params("_b", d_inner, dt_rank)
         p_s = self._direction_params("_s", d_inner, dt_rank)
 
-        out = self._run_direction(xz, p_f)
-        out_b = self._run_direction(jnp.flip(xz, axis=1), p_b)
-        out_s = self._run_direction(slice_interleave(xz, nslices), p_s)
-
-        combined = (out + jnp.flip(out_b, axis=1)
-                    + slice_deinterleave(out_s, nslices))
+        use_batched = (self.scan_impl == "fused"
+                       or (self.scan_impl in ("auto", "pallas")
+                           and jax.default_backend() == "tpu"))
+        if use_batched:
+            xz3 = jnp.concatenate(
+                [xz, jnp.flip(xz, axis=1), slice_interleave(xz, nslices)],
+                axis=0)
+            params3 = tuple(
+                None if ps[0] is None else jnp.stack(ps)
+                for ps in zip(p_f, p_b, p_s))
+            out3 = self._run_directions_batched(xz3, params3, b)
+            out3 = out3.reshape(3, b, L, d_inner)
+            combined = (out3[0] + jnp.flip(out3[1], axis=1)
+                        + slice_deinterleave(out3[2], nslices))
+        else:
+            out = self._run_direction(xz, p_f)
+            out_b = self._run_direction(jnp.flip(xz, axis=1), p_b)
+            out_s = self._run_direction(slice_interleave(xz, nslices), p_s)
+            combined = (out + jnp.flip(out_b, axis=1)
+                        + slice_deinterleave(out_s, nslices))
 
         out_proj = self.param("out_proj", torch_kaiming_uniform(d_inner),
                               (d_inner, self.d_model))

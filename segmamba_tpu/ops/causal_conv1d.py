@@ -51,6 +51,33 @@ def causal_conv1d(x, weight, bias=None, activation=None):
     return y.astype(dtype)
 
 
+def causal_conv1d_grouped(x, weight, bias, batch, activation=None):
+    """Depthwise causal conv with per-group filters.
+
+    x: (groups*batch, seqlen, dim); weight: (groups, width, dim);
+    bias: (groups, dim) or None. Row i of x uses filter i // batch — used to
+    fold e.g. the three scan orientations into one batched op.
+    """
+    if activation not in (None, "silu", "swish"):
+        raise ValueError(f"unsupported activation {activation!r}")
+    groups, width, dim = weight.shape
+    assert x.shape[0] == groups * batch
+    seqlen = x.shape[1]
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    w = jnp.repeat(weight.astype(jnp.float32), batch, axis=0)  # (g·b, W, D)
+    xp = jnp.pad(xf, ((0, 0), (width - 1, 0), (0, 0)))
+    y = jnp.zeros_like(xf)
+    for i in range(width):
+        y = y + w[:, i][:, None, :] * jax.lax.dynamic_slice_in_dim(
+            xp, i, seqlen, axis=1)
+    if bias is not None:
+        y = y + jnp.repeat(bias.astype(jnp.float32), batch, axis=0)[:, None, :]
+    if activation in ("silu", "swish"):
+        y = jax.nn.silu(y)
+    return y.astype(dtype)
+
+
 def causal_conv1d_update(x_new, conv_state, weight, bias=None, activation=None):
     """Single-token decode step: shift the conv window and produce one output.
 

@@ -50,9 +50,9 @@ def _fwd_kernel(u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref, bias_ref,
 
     u = u_ref[0].astype(jnp.float32)                    # (T, Dblk)
     delta = jax.nn.softplus(dt_ref[0].astype(jnp.float32)
-                            + bias_ref[0].astype(jnp.float32))
+                            + bias_ref[0, 0].astype(jnp.float32))
     z = z_ref[0].astype(jnp.float32)
-    At = At_ref[...].astype(jnp.float32)                # (N, Dblk)
+    At = At_ref[0].astype(jnp.float32)                  # (N, Dblk)
     Bt = Bt_ref[0].astype(jnp.float32)                  # (N, T)
     Ct = Ct_ref[0].astype(jnp.float32)
 
@@ -61,7 +61,7 @@ def _fwd_kernel(u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref, bias_ref,
     aa, bb = _pair_scan_fwd(a, b, T)
     x = bb + aa * carry_ref[...][:, None, :]
     y = jnp.sum(Ct[:, :, None] * x, axis=0)             # (T, Dblk)
-    ytot = y + Dv_ref[0].astype(jnp.float32) * u
+    ytot = y + Dv_ref[0, 0].astype(jnp.float32) * u
     out_ref[0] = (ytot * (z * jax.nn.sigmoid(z))).astype(out_ref.dtype)
 
     N, Dblk = carry_ref.shape
@@ -83,13 +83,13 @@ def _bwd_kernel(u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref, bias_ref,
         dD_ref[...] = jnp.zeros(dD_ref.shape, dD_ref.dtype)
 
     u = u_ref[0].astype(jnp.float32)
-    dt_raw = dt_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    dt_raw = dt_ref[0].astype(jnp.float32) + bias_ref[0, 0].astype(jnp.float32)
     delta = jax.nn.softplus(dt_raw)
     z = z_ref[0].astype(jnp.float32)
-    At = At_ref[...].astype(jnp.float32)
+    At = At_ref[0].astype(jnp.float32)
     Bt = Bt_ref[0].astype(jnp.float32)
     Ct = Ct_ref[0].astype(jnp.float32)
-    Dv = Dv_ref[0].astype(jnp.float32)
+    Dv = Dv_ref[0, 0].astype(jnp.float32)
     dout = dout_ref[0].astype(jnp.float32)
 
     # recompute states from the stored chunk-entry state
@@ -135,16 +135,17 @@ def _bwd_kernel(u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref, bias_ref,
 
 def _fwd_call(u, dt, z, At, Bt, Ct, bias, Dv, T, Dblk):
     batch, L, D = u.shape
-    N = At.shape[0]
+    G, N = At.shape[0], At.shape[1]
     nc, nd = L // T, D // Dblk
+    gidx = (lambda b, d, c: (b, 0, d)) if G == batch else         (lambda b, d, c: (0, 0, d))
     seq_spec = pl.BlockSpec((1, T, Dblk), lambda b, d, c: (b, c, d))
-    vec_spec = pl.BlockSpec((1, Dblk), lambda b, d, c: (0, d))
+    vec_spec = pl.BlockSpec((1, 1, Dblk), gidx)
     out, states = pl.pallas_call(
         _fwd_kernel,
         grid=(batch, nd, nc),
         in_specs=[
             seq_spec, seq_spec, seq_spec,
-            pl.BlockSpec((N, Dblk), lambda b, d, c: (0, d)),
+            pl.BlockSpec((1, N, Dblk), gidx),
             pl.BlockSpec((1, N, T), lambda b, d, c: (b, 0, c)),
             pl.BlockSpec((1, N, T), lambda b, d, c: (b, 0, c)),
             vec_spec, vec_spec,
@@ -165,20 +166,21 @@ def _fwd_call(u, dt, z, At, Bt, Ct, bias, Dv, T, Dblk):
 
 def _bwd_call(u, dt, z, At, Bt, Ct, bias, Dv, dout, states, T, Dblk):
     batch, L, D = u.shape
-    N = At.shape[0]
+    G, N = At.shape[0], At.shape[1]
     nc, nd = L // T, D // Dblk
 
     def rev(c):
         return nc - 1 - c
 
+    gidx = (lambda b, d, c: (b, 0, d)) if G == batch else         (lambda b, d, c: (0, 0, d))
     seq_rev = pl.BlockSpec((1, T, Dblk), lambda b, d, c: (b, rev(c), d))
-    vec_spec = pl.BlockSpec((1, Dblk), lambda b, d, c: (0, d))
+    vec_spec = pl.BlockSpec((1, 1, Dblk), gidx)
     outs = pl.pallas_call(
         _bwd_kernel,
         grid=(batch, nd, nc),
         in_specs=[
             seq_rev, seq_rev, seq_rev,
-            pl.BlockSpec((N, Dblk), lambda b, d, c: (0, d)),
+            pl.BlockSpec((1, N, Dblk), gidx),
             pl.BlockSpec((1, N, T), lambda b, d, c: (b, 0, rev(c))),
             pl.BlockSpec((1, N, T), lambda b, d, c: (b, 0, rev(c))),
             vec_spec, vec_spec,
@@ -206,11 +208,16 @@ def _bwd_call(u, dt, z, At, Bt, Ct, bias, Dv, dout, states, T, Dblk):
         interpret=_interpret(),
     )(u, dt, z, At, Bt, Ct, bias, Dv, dout, states)
     du, ddt, dz, dA_p, dB_p, dC_p, dD_p = outs
-    dAt = jnp.moveaxis(jnp.sum(dA_p, axis=0), 0, 1).reshape(N, D)
+    if G == batch:  # per-batch parameters
+        dAt = jnp.moveaxis(dA_p, 1, 2).reshape(batch, N, D)
+        dDv = dD_p.reshape(batch, 1, D)
+        dbias = jnp.sum(ddt, axis=1).reshape(batch, 1, D)
+    else:
+        dAt = jnp.moveaxis(jnp.sum(dA_p, axis=0), 0, 1).reshape(1, N, D)
+        dDv = jnp.sum(dD_p, axis=(0, 2)).reshape(1, 1, D)
+        dbias = jnp.sum(ddt, axis=(0, 1)).reshape(1, 1, D)
     dBt = jnp.sum(dB_p, axis=0)
     dCt = jnp.sum(dC_p, axis=0)
-    dDv = jnp.sum(dD_p, axis=(0, 2)).reshape(1, D)
-    dbias = jnp.sum(ddt, axis=(0, 1)).reshape(1, D)
     return du, ddt, dz, dAt, dBt, dCt, dDv, dbias
 
 
@@ -243,8 +250,11 @@ def mamba_scan_fused(u, dt, z, A, B, C, D, dt_bias,
                      chunk_size=DEF_CHUNK, d_block=DEF_DBLOCK):
     """out = (scan(u, softplus(dt+bias), A, B, C) + D·u) · silu(z).
 
-    u/dt/z: (batch, L, dim) storage dtype; A: (dim, N) f32; B/C: (batch, L,
-    N); D, dt_bias: (dim,) f32. Returns (batch, L, dim) in u.dtype.
+    u/dt/z: (batch, L, dim) storage dtype; B/C: (batch, L, N).
+    Parameters may be shared — A: (dim, N), D/dt_bias: (dim,) — or
+    per-batch-row — A: (batch, dim, N), D/dt_bias: (batch, dim) — which lets
+    callers fold independent branches (e.g. the three scan orientations)
+    into one batched kernel call. Returns (batch, L, dim) in u.dtype.
     """
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
@@ -270,13 +280,26 @@ def mamba_scan_fused(u, dt, z, A, B, C, D, dt_bias,
     uf = padded(u, [(1, pad_l), (2, pad_d)])
     dtf = padded(dt, [(1, pad_l), (2, pad_d)])
     zf = padded(z, [(1, pad_l), (2, pad_d)])
-    Af = padded(A.astype(jnp.float32), [(0, pad_d)])
     Bf = padded(B, [(1, pad_l)])
     Cf = padded(C, [(1, pad_l)])
-    bias2 = padded(dt_bias.astype(jnp.float32).reshape(1, dim), [(1, pad_d)])
-    Dv2 = padded(D.astype(jnp.float32).reshape(1, dim), [(1, pad_d)])
+
+    # canonicalize parameters to (G, ...) — G=1 shared, G=batch per-batch
+    # (per-batch lets e.g. the three tri-orientation branches run as one
+    # batched kernel call with their own A/D/bias per group)
+    if A.ndim == 2:
+        At3 = padded(A.astype(jnp.float32), [(0, pad_d)]).T[None]  # (1,N,Dp)
+        bias3 = padded(dt_bias.astype(jnp.float32).reshape(1, 1, dim),
+                       [(2, pad_d)])
+        Dv3 = padded(D.astype(jnp.float32).reshape(1, 1, dim), [(2, pad_d)])
+    else:
+        assert A.shape[0] == batch, "per-batch A must have leading batch dim"
+        At3 = jnp.swapaxes(padded(A.astype(jnp.float32), [(1, pad_d)]), 1, 2)
+        bias3 = padded(dt_bias.astype(jnp.float32).reshape(batch, 1, dim),
+                       [(2, pad_d)])
+        Dv3 = padded(D.astype(jnp.float32).reshape(batch, 1, dim),
+                     [(2, pad_d)])
 
     core = _make_core(T, Dblk)
-    out = core(uf, dtf, zf, Af.T, jnp.swapaxes(Bf, 1, 2),
-               jnp.swapaxes(Cf, 1, 2), bias2, Dv2)
+    out = core(uf, dtf, zf, At3, jnp.swapaxes(Bf, 1, 2),
+               jnp.swapaxes(Cf, 1, 2), bias3, Dv3)
     return out[:, :seqlen, :dim]
