@@ -50,23 +50,30 @@ def read_nifti(path, with_meta: bool = False):
         raw = f.read()
     hdr = raw[:_HDR_SIZE]
     (sizeof_hdr,) = struct.unpack_from("<i", hdr, 0)
+    endian = "<"
     if sizeof_hdr != _HDR_SIZE:
-        raise ValueError(f"{path}: not a little-endian NIfTI-1 file "
-                         f"(sizeof_hdr={sizeof_hdr})")
-    dim = struct.unpack_from("<8h", hdr, 40)
+        # big-endian writer: sizeof_hdr byte-swapped
+        (sizeof_hdr_be,) = struct.unpack_from(">i", hdr, 0)
+        if sizeof_hdr_be == _HDR_SIZE:
+            endian = ">"
+        else:
+            raise ValueError(f"{path}: not a NIfTI-1 file "
+                             f"(sizeof_hdr={sizeof_hdr})")
+    dim = struct.unpack_from(endian + "8h", hdr, 40)
     ndim = dim[0]
     shape = tuple(max(1, d) for d in dim[1:1 + max(ndim, 3)])
-    (datatype,) = struct.unpack_from("<h", hdr, 70)
-    pixdim = struct.unpack_from("<8f", hdr, 76)
-    (vox_offset,) = struct.unpack_from("<f", hdr, 108)
-    scl_slope, scl_inter = struct.unpack_from("<2f", hdr, 112)
+    (datatype,) = struct.unpack_from(endian + "h", hdr, 70)
+    pixdim = struct.unpack_from(endian + "8f", hdr, 76)
+    (vox_offset,) = struct.unpack_from(endian + "f", hdr, 108)
+    scl_slope, scl_inter = struct.unpack_from(endian + "2f", hdr, 112)
     if datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
-    dtype = np.dtype(_DTYPES[datatype])
+    dtype = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
 
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=count,
-                         offset=int(vox_offset)).copy()
+                         offset=int(vox_offset)).astype(
+        np.dtype(_DTYPES[datatype]))
     # on-disk order is Fortran (x fastest)
     arr = data.reshape(shape, order="F")
     # collapse trailing singleton dims beyond 3
@@ -80,11 +87,11 @@ def read_nifti(path, with_meta: bool = False):
     spacing = tuple(float(p) for p in pixdim[1:4])
 
     srow = np.zeros((4, 4), np.float64)
-    srow[0] = struct.unpack_from("<4f", hdr, 280)
-    srow[1] = struct.unpack_from("<4f", hdr, 296)
-    srow[2] = struct.unpack_from("<4f", hdr, 312)
+    srow[0] = struct.unpack_from(endian + "4f", hdr, 280)
+    srow[1] = struct.unpack_from(endian + "4f", hdr, 296)
+    srow[2] = struct.unpack_from(endian + "4f", hdr, 312)
     srow[3, 3] = 1.0
-    (sform_code,) = struct.unpack_from("<h", hdr, 254)
+    (sform_code,) = struct.unpack_from(endian + "h", hdr, 254)
     if sform_code <= 0:
         srow = np.diag([spacing[0], spacing[1], spacing[2], 1.0])
     if with_meta:

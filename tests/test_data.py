@@ -237,3 +237,27 @@ def test_json_split_and_global_dataset(preprocessed_dir, tmp_path):
                            rng=np.random.default_rng(0))
     batch = sampler.generate_train_batch()
     assert batch["data_global"].shape == (2, 2, 8, 8, 8)
+
+
+def test_nifti_big_endian(tmp_path):
+    """Reader handles byte-swapped (big-endian) NIfTI-1 files."""
+    import struct
+    rng = np.random.default_rng(5)
+    vol = rng.standard_normal((4, 5, 6)).astype(np.float32)
+    p = tmp_path / "le.nii"
+    write_nifti(p, vol)
+    raw = bytearray(open(p, "rb").read())
+    # byte-swap the header fields we read and the payload
+    def swap(fmt, off):
+        vals = struct.unpack_from("<" + fmt, raw, off)
+        struct.pack_into(">" + fmt, raw, off, *vals)
+    for fmt, off in [("i", 0), ("8h", 40), ("h", 70), ("h", 72), ("8f", 76),
+                     ("f", 108), ("2f", 112), ("2h", 252), ("4f", 280),
+                     ("4f", 296), ("4f", 312)]:
+        swap(fmt, off)
+    payload = np.frombuffer(raw[352:], np.float32).byteswap().tobytes()
+    raw[352:] = payload
+    pb = tmp_path / "be.nii"
+    open(pb, "wb").write(bytes(raw))
+    back = read_nifti(pb)
+    np.testing.assert_allclose(back, vol, rtol=1e-6)
