@@ -246,26 +246,33 @@ class MambaLMHeadModel(nn.Module):
         return logits, caches
 
     def generate(self, input_ids, max_new_tokens, temperature=0.0, key=None):
-        """Prefill via the parallel scan, then single-token decode steps.
+        """Prefill then decode, both as ``lax.scan`` loops (one compiled
+        decode step reused for every token — the reference achieves the same
+        with CUDA graphs, benchmark_generation_mamba_simple.py:56-60).
         temperature 0 = greedy."""
-        # prefill: run full forward, take last logits, build cache by
-        # stepping through the prompt (simple and correct; decode cost
-        # dominates for long generations)
         batch, prompt_len = input_ids.shape
         caches = self.backbone.init_cache(batch)
-        logits = None
-        for t in range(prompt_len):
-            logits, caches = self._logits_step(input_ids[:, t], caches)
-        toks = [input_ids]
-        cur = None
         if key is None:
             key = jax.random.key(0)
-        for _ in range(max_new_tokens):
+
+        def prefill_step(caches, tok):
+            logits, caches = self._logits_step(tok, caches)
+            return caches, logits
+
+        caches, all_logits = jax.lax.scan(
+            prefill_step, caches, jnp.swapaxes(input_ids, 0, 1))
+        logits = all_logits[-1]
+
+        def decode_step(carry, _):
+            logits, caches, key = carry
             if temperature <= 0.0:
-                cur = jnp.argmax(logits, axis=-1)
+                tok = jnp.argmax(logits, axis=-1)
             else:
                 key, sub = jax.random.split(key)
-                cur = jax.random.categorical(sub, logits / temperature)
-            toks.append(cur[:, None])
-            logits, caches = self._logits_step(cur, caches)
-        return jnp.concatenate(toks, axis=1)
+                tok = jax.random.categorical(sub, logits / temperature)
+            logits, caches = self._logits_step(tok, caches)
+            return (logits, caches, key), tok
+
+        (_, _, _), toks = jax.lax.scan(
+            decode_step, (logits, caches, key), None, length=max_new_tokens)
+        return jnp.concatenate([input_ids, jnp.swapaxes(toks, 0, 1)], axis=1)
