@@ -69,29 +69,63 @@ def _shift_up(arr, k, fill):
     return jnp.concatenate([arr[:, k:], pad], axis=1)
 
 
-def _pair_scan_fwd(a, b, T):
-    """Inclusive prefix scan of the recurrence x[t] = a[t]·x[t-1] + b[t]
-    (zero initial state). Returns (cumprod_a, x)."""
+def _shift_down_ax(arr, k, fill, axis):
+    T = arr.shape[axis]
+    pad_shape = list(arr.shape)
+    pad_shape[axis] = k
+    pad = jnp.full(tuple(pad_shape), fill, arr.dtype)
+    sl = [slice(None)] * arr.ndim
+    sl[axis] = slice(0, T - k)
+    return jnp.concatenate([pad, arr[tuple(sl)]], axis=axis)
+
+
+def _shift_up_ax(arr, k, fill, axis):
+    pad_shape = list(arr.shape)
+    pad_shape[axis] = k
+    pad = jnp.full(tuple(pad_shape), fill, arr.dtype)
+    sl = [slice(None)] * arr.ndim
+    sl[axis] = slice(k, None)
+    return jnp.concatenate([arr[tuple(sl)], pad], axis=axis)
+
+
+def _hs_fwd(a, b, T, axis):
+    """Hillis-Steele inclusive pair scan along `axis`."""
     k = 1
     while k < T:
-        a_s = _shift_down(a, k, 1.0)
-        b_s = _shift_down(b, k, 0.0)
+        a_s = _shift_down_ax(a, k, 1.0, axis)
+        b_s = _shift_down_ax(b, k, 0.0, axis)
         b = a * b_s + b
         a = a * a_s
         k *= 2
     return a, b
 
 
-def _pair_scan_rev(m, v, T):
-    """Suffix scan g[t] = v[t] + m[t]·g[t+1] (zero past-the-end state)."""
+def _hs_rev(m, v, T, axis):
+    """Hillis-Steele suffix pair scan along `axis` (returns both)."""
     k = 1
     while k < T:
-        m_s = _shift_up(m, k, 1.0)
-        v_s = _shift_up(v, k, 0.0)
+        m_s = _shift_up_ax(m, k, 1.0, axis)
+        v_s = _shift_up_ax(v, k, 0.0, axis)
         v = v + m * v_s
         m = m * m_s
         k *= 2
-    return v
+    return m, v
+
+
+def _pair_scan_fwd(a, b, T):
+    """Inclusive prefix scan of x[t] = a[t]·x[t-1] + b[t] (zero init) on
+    (N, T, Dblk) arrays. Returns (cumprod_a, x).
+
+    Flat Hillis-Steele over the time axis. A two-level variant
+    (8-step sub-chunks + carry scan, ~40% fewer VPU ops on paper) was tried
+    and measured ~40% SLOWER on v5e — the (N, T/8, 8, Dblk) layout fragments
+    Mosaic's tiling — so the flat form stays."""
+    return _hs_fwd(a, b, T, axis=1)
+
+
+def _pair_scan_rev(m, v, T):
+    """Suffix scan g[t] = v[t] + m[t]·g[t+1] (zero past-the-end state)."""
+    return _hs_rev(m, v, T, axis=1)[1]
 
 
 # ---------------------------------------------------------------------------
