@@ -63,7 +63,7 @@ def main():
     class BraTSTrainer(Trainer):
         def validation_step(self, state, batch):
             image, label = self.get_input(batch)
-            logits = jax.jit(state.apply_fn)(state.params, jnp.asarray(image))
+            logits = self._apply(state, jnp.asarray(image))
             pred = np.asarray(jnp.argmax(logits, axis=-1))
             label = np.asarray(label)
             groups = [

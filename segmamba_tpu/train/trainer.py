@@ -97,6 +97,15 @@ class Trainer:
         self.best_mean_dice = 0.0
         self.logger = MetricLogger(logdir)
         self.timer = StepTimer()
+        self._jitted_apply = None
+
+    def _apply(self, state, image):
+        """Jitted forward, cached once (a fresh jax.jit wrapper per call
+        would retrace every validation step)."""
+        if self._jitted_apply is None:
+            import jax as _jax
+            self._jitted_apply = _jax.jit(state.apply_fn)
+        return self._jitted_apply(state.params, image)
 
     # -- hooks (reference trainer.py:485-492) -----------------------------
 
@@ -106,7 +115,7 @@ class Trainer:
     def validation_step(self, state, batch):
         """Patch forward + per-class dice on argmax (3_train.py:93-119)."""
         image, label = self.get_input(batch)
-        logits = jax.jit(state.apply_fn)(state.params, jnp.asarray(image))
+        logits = self._apply(state, jnp.asarray(image))
         pred = np.asarray(jnp.argmax(logits, axis=-1))
         label = np.asarray(label)
         dices = []

@@ -137,3 +137,47 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_host():
+    """Single-host behavior of the multihost helpers (pods need real
+    processes; here process_count==1 so make_global_batch is local)."""
+    from segmamba_tpu.parallel.multihost import (
+        global_data_mesh,
+        is_main_process,
+        make_global_batch,
+    )
+    assert is_main_process()
+    mesh = global_data_mesh()
+    assert mesh.devices.size == 8  # virtual CPU devices from conftest
+    batch = {"image": np.ones((8, 4, 4, 4, 2), np.float32),
+             "label": np.zeros((8, 4, 4, 4), np.int32)}
+    g = make_global_batch(batch, mesh)
+    assert g["image"].shape == (8, 4, 4, 4, 2)
+    # sharded over the data axis
+    assert len(g["image"].sharding.device_set) == 8
+
+
+def test_trainer_validation_jit_cached():
+    """validation_step must reuse one compiled forward (no per-call jit)."""
+    from flax import linen as nn
+    from segmamba_tpu.train.trainer import Trainer
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3)(x.reshape(x.shape[0], -1)).reshape(
+                x.shape[0], 1, 1, 1, 3) * jnp.ones((1, *x.shape[1:4], 1))
+
+    model = M()
+    t = Trainer(model, logdir="/tmp/_jit_cache_test", num_classes=3,
+                num_workers=0)
+    state = __import__("segmamba_tpu.train.train_state",
+                       fromlist=["create_train_state"]).create_train_state(
+        model, jax.random.key(0), jnp.ones((1, 2, 2, 2, 2)))
+    batch = {"image": np.ones((1, 2, 2, 2, 2), np.float32),
+             "label": np.zeros((1, 2, 2, 2), np.int64)}
+    t.validation_step(state, batch)
+    fn1 = t._jitted_apply
+    t.validation_step(state, batch)
+    assert t._jitted_apply is fn1  # same cached wrapper
