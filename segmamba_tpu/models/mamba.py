@@ -90,6 +90,7 @@ class MambaV3(nn.Module):
     dt_init_floor: float = 1e-4
     conv_bias: bool = True
     bias: bool = False
+    bimamba_type: str = "v3"  # "v2" = fwd+flip only; "v3" adds inter-slice
     nslices: int | None = None
     scan_impl: str = "auto"
     scan_chunk: int = 128
@@ -172,11 +173,15 @@ class MambaV3(nn.Module):
     @nn.compact
     def __call__(self, hidden_states):
         """hidden_states: (batch, L, d_model) -> same shape."""
+        if self.bimamba_type not in ("v2", "v3"):
+            raise ValueError(f"bimamba_type={self.bimamba_type!r}; use "
+                             "MambaUni for the uni-directional ('none') form")
         b, L, _ = hidden_states.shape
         d_inner = self.expand * self.d_model
         dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
         nslices = self.nslices
-        if nslices is None or L % nslices != 0:
+        use_slice = self.bimamba_type == "v3"
+        if use_slice and (nslices is None or L % nslices != 0):
             raise ValueError(f"nslices={nslices} must divide L={L}")
 
         h = hidden_states.astype(self.dtype)
@@ -186,28 +191,35 @@ class MambaV3(nn.Module):
 
         p_f = self._direction_params("", d_inner, dt_rank)
         p_b = self._direction_params("_b", d_inner, dt_rank)
-        p_s = self._direction_params("_s", d_inner, dt_rank)
+        p_s = (self._direction_params("_s", d_inner, dt_rank)
+               if use_slice else None)
 
         use_batched = (self.scan_impl == "fused"
                        or (self.scan_impl in ("auto", "pallas")
                            and jax.default_backend() == "tpu"))
         if use_batched:
-            xz3 = jnp.concatenate(
-                [xz, jnp.flip(xz, axis=1), slice_interleave(xz, nslices)],
-                axis=0)
+            branches = [xz, jnp.flip(xz, axis=1)]
+            psets = [p_f, p_b]
+            if use_slice:
+                branches.append(slice_interleave(xz, nslices))
+                psets.append(p_s)
+            xz3 = jnp.concatenate(branches, axis=0)
             params3 = tuple(
                 None if ps[0] is None else jnp.stack(ps)
-                for ps in zip(p_f, p_b, p_s))
+                for ps in zip(*psets))
             out3 = self._run_directions_batched(xz3, params3, b)
-            out3 = out3.reshape(3, b, L, d_inner)
-            combined = (out3[0] + jnp.flip(out3[1], axis=1)
-                        + slice_deinterleave(out3[2], nslices))
+            out3 = out3.reshape(len(branches), b, L, d_inner)
+            combined = out3[0] + jnp.flip(out3[1], axis=1)
+            if use_slice:
+                combined = combined + slice_deinterleave(out3[2], nslices)
         else:
             out = self._run_direction(xz, p_f)
             out_b = self._run_direction(jnp.flip(xz, axis=1), p_b)
-            out_s = self._run_direction(slice_interleave(xz, nslices), p_s)
-            combined = (out + jnp.flip(out_b, axis=1)
-                        + slice_deinterleave(out_s, nslices))
+            combined = out + jnp.flip(out_b, axis=1)
+            if use_slice:
+                out_s = self._run_direction(slice_interleave(xz, nslices),
+                                            p_s)
+                combined = combined + slice_deinterleave(out_s, nslices)
 
         out_proj = self.param("out_proj", torch_kaiming_uniform(d_inner),
                               (d_inner, self.d_model))

@@ -93,6 +93,23 @@ def dice_and_ce_loss(logits, labels, weight_ce: float = 1.0,
     return weight_ce * ce + weight_dice * dc
 
 
+def dice_and_bce_loss(logits, region_labels, weight_ce: float = 1.0,
+                      weight_dice: float = 1.0):
+    """DC_and_BCE for region-based (possibly overlapping) targets
+    (loss/compound_losses.py:60-105): sigmoid per channel + soft dice on
+    sigmoid probabilities. ``region_labels``: (batch, *spatial, C) binary."""
+    lf = logits.astype(jnp.float32)
+    lab = region_labels.astype(jnp.float32)
+    bce = jnp.mean(optax.sigmoid_binary_cross_entropy(lf, lab))
+    probs = jax.nn.sigmoid(lf)
+    axes = tuple(range(1, logits.ndim - 1))
+    tp = jnp.sum(probs * lab, axis=axes)
+    fp = jnp.sum(probs * (1 - lab), axis=axes)
+    fn = jnp.sum((1 - probs) * lab, axis=axes)
+    dc = (2 * tp + 1e-5) / jnp.maximum(2 * tp + fp + fn + 1e-5, 1e-8)
+    return weight_ce * bce + weight_dice * (1.0 - jnp.mean(dc))
+
+
 def deep_supervision_loss(loss_fn, logits_list, labels_list):
     """Weighted multi-scale loss: weights 1, 1/2, 1/4, ... normalized
     (loss/deepsupervision.py:5-38)."""

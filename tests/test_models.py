@@ -145,3 +145,21 @@ def test_mamba_v3_batched_directions_match():
     g = jax.grad(lambda p: jnp.sum(m_bat.apply(p, x) ** 2))(params)
     assert all(bool(jnp.isfinite(l).all())
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_mamba_v2_bidirectional():
+    """bimamba_type='v2': fwd + flipped scans only, no slice branch
+    (mamba_simple.py:265+)."""
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((1, 12, 8)),
+                    jnp.float32)
+    m = MambaV3(d_model=8, d_state=4, bimamba_type="v2", scan_impl="ref")
+    params = m.init(jax.random.key(0), x)
+    p = params["params"]
+    assert "A_b_log" in p and "A_s_log" not in p
+    out = m.apply(params, x)
+    assert out.shape == (1, 12, 8)
+    # batched kernel path agrees
+    m_f = MambaV3(d_model=8, d_state=4, bimamba_type="v2", scan_impl="fused")
+    out_f = m_f.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out),
+                               rtol=2e-3, atol=1e-3)

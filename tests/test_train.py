@@ -181,3 +181,13 @@ def test_trainer_validation_jit_cached():
     fn1 = t._jitted_apply
     t.validation_step(state, batch)
     assert t._jitted_apply is fn1  # same cached wrapper
+
+
+def test_dice_and_bce_loss():
+    from segmamba_tpu.train.losses import dice_and_bce_loss
+    rng = np.random.default_rng(9)
+    labels = jnp.asarray(rng.integers(0, 2, (1, 4, 4, 4, 3)), jnp.float32)
+    perfect = (labels * 2 - 1) * 20.0  # +-20 logits
+    assert float(dice_and_bce_loss(perfect, labels)) < 1e-2
+    wrong = -perfect
+    assert float(dice_and_bce_loss(wrong, labels)) > 1.0
