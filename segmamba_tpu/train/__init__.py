@@ -2,6 +2,7 @@
 
 from segmamba_tpu.train.losses import (
     cross_entropy_loss,
+    dice_and_bce_loss,
     dice_and_ce_loss,
     soft_dice_loss,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "cross_entropy_loss",
     "soft_dice_loss",
     "dice_and_ce_loss",
+    "dice_and_bce_loss",
     "poly_schedule",
     "cosine_with_warmup_schedule",
     "constant_with_warmup_schedule",
