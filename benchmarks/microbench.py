@@ -18,7 +18,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def chain_time(f, args, k=10, reps=3):
-    """Median wall time per application of f, chained k times inside one jit."""
+    """Median wall time per application of f, chained k times inside one jit.
+
+    k=1 degrades to a plain timed call (for programs too large to chain
+    through the remote-compile relay); the ~0.5 ms dispatch overhead is
+    negligible for >50 ms programs.
+    """
 
     @jax.jit
     def run(args):
@@ -28,7 +33,9 @@ def chain_time(f, args, k=10, reps=3):
                 lambda a: a + (s * 1e-30).astype(a.dtype), args)
             out = f(*perturbed) if isinstance(perturbed, tuple) else f(perturbed)
             leaves = jax.tree_util.tree_leaves(out)
-            s = s + jnp.sum(leaves[0].astype(jnp.float32).ravel()[:8])
+            # reduce the FULL output: a partial slice lets XLA dead-code-
+            # eliminate most of the op (observed: "356 Tf/s" matmuls)
+            s = s + jnp.sum(leaves[0], dtype=jnp.float32)
         return s
 
     float(run(args))  # compile
@@ -117,7 +124,10 @@ def main():
         x = jnp.asarray(rng.standard_normal((1, 128, 128, 128, 4)),
                         jnp.float32)
         params = jax.jit(model.init)(jax.random.key(0), x)
-        report("full 128^3 forward", lambda a: model.apply(params, a), x, k=5)
+        # pass params as args (a closure bakes 240MB of constants into the
+        # program and overflows the remote-compile relay); k=2 chain max
+        report("full 128^3 forward",
+               lambda p, a: model.apply(p, a), (params, x), k=2)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,21 @@ class Conv3d(nn.Module):
         s = self.stride
         strides = (s,) * 3 if isinstance(s, int) else tuple(s)
         fan_in = x.shape[-1] * math.prod(ks)
+        if ks == (1, 1, 1) and strides == (1, 1, 1):
+            # 1x1x1 conv as an explicit matmul: XLA's TPU conv emitter runs
+            # this ~4x slower than the equivalent dot (measured 10.4 ms vs
+            # 2.7 ms on a 128^3 x 48ch volume). Same param names/shapes as
+            # nn.Conv so checkpoints are interchangeable.
+            kernel = self.param("kernel", torch_kaiming_uniform(fan_in),
+                                (1, 1, 1, x.shape[-1], self.features))
+            dt = self.dtype or x.dtype
+            y = jnp.einsum("...c,ce->...e", x.astype(dt),
+                           kernel[0, 0, 0].astype(dt))
+            if self.use_bias:
+                bias = self.param("bias", torch_bias_uniform(fan_in),
+                                  (self.features,))
+                y = y + bias.astype(dt)
+            return y
         return nn.Conv(
             features=self.features,
             kernel_size=ks,
