@@ -17,13 +17,36 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def chain_time(f, args, k=10, reps=3):
-    """Median wall time per application of f, chained k times inside one jit.
+_FETCH_OVERHEAD = [None]
 
-    k=1 degrades to a plain timed call (for programs too large to chain
-    through the remote-compile relay); the ~0.5 ms dispatch overhead is
-    negligible for >50 ms programs.
-    """
+
+def fetch_overhead():
+    """One scalar fetch through the axon relay costs ~25 ms of pure host/relay
+    latency (measured: a trivial jit + float() takes the same ~25 ms as a
+    chained 100MB pallas copy at k=2). Every timing must subtract it, or at
+    small k it inflates per-op numbers by 25/k ms — which is how round-1
+    recorded a 36 GB/s "pallas copy" on what is actually a full-speed
+    (~780 GB/s) v5e."""
+    if _FETCH_OVERHEAD[0] is None:
+        x = jnp.ones((8, 128), jnp.float32)
+
+        @jax.jit
+        def triv(x):
+            return jnp.sum(x[:1, :1])
+
+        float(triv(x))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(triv(x))
+            best = min(best, time.perf_counter() - t0)
+        _FETCH_OVERHEAD[0] = best
+    return _FETCH_OVERHEAD[0]
+
+
+def chain_time(f, args, k=10, reps=3):
+    """Median device time per application of f, chained k times inside one
+    jit, with the per-fetch relay overhead subtracted."""
 
     @jax.jit
     def run(args):
@@ -43,8 +66,8 @@ def chain_time(f, args, k=10, reps=3):
     for _ in range(reps):
         t0 = time.perf_counter()
         float(run(args))
-        best = min(best, (time.perf_counter() - t0) / k)
-    return best
+        best = min(best, (time.perf_counter() - t0))
+    return max(best - fetch_overhead(), 1e-9) / k
 
 
 def report(name, f, args, k=10):

@@ -6,6 +6,7 @@ import numpy as np
 import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/segmamba_jax_cache")
@@ -14,7 +15,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(fn, *args, iters=5, inner=3):
-    # dependent chain inside one jit; fetch scalar
+    # dependent chain inside one jit; fetch scalar; subtract the ~25 ms
+    # relay fetch overhead (see microbench.fetch_overhead)
+    from microbench import fetch_overhead
     out = fn(*args)
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
     best = float("inf")
@@ -24,9 +27,9 @@ def timeit(fn, *args, iters=5, inner=3):
         for _ in range(inner):
             out = fn(*args)
         s = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-        dt = (time.perf_counter() - t0) / inner
+        dt = time.perf_counter() - t0
         best = min(best, dt)
-    return best
+    return max(best - fetch_overhead(), 1e-9) / inner
 
 
 def main():

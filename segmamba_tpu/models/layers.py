@@ -56,6 +56,9 @@ class Conv3d(nn.Module):
     """3-D conv, channels-last, torch-default initialization.
 
     padding is an int (symmetric), matching torch Conv3d(padding=p).
+    Parameters live directly on this module ("kernel" (kz,ky,kx,Cin,Cout)
+    DHWIO + "bias"), independent of which compute path the input shape
+    selects — so checkpoints are layout-stable.
     """
 
     features: int
@@ -71,37 +74,52 @@ class Conv3d(nn.Module):
         ks = (k,) * 3 if isinstance(k, int) else tuple(k)
         s = self.stride
         strides = (s,) * 3 if isinstance(s, int) else tuple(s)
-        fan_in = x.shape[-1] * math.prod(ks)
+        cin = x.shape[-1]
+        fan_in = cin * math.prod(ks)
+        kernel = self.param("kernel", torch_kaiming_uniform(fan_in),
+                            ks + (cin, self.features))
+        bias = (self.param("bias", torch_bias_uniform(fan_in),
+                           (self.features,))
+                if self.use_bias else None)
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        kern = kernel.astype(dt)
+        b, d, h, w, _ = x.shape
         if ks == (1, 1, 1) and strides == (1, 1, 1):
             # 1x1x1 conv as an explicit matmul: XLA's TPU conv emitter runs
             # this ~4x slower than the equivalent dot (measured 10.4 ms vs
-            # 2.7 ms on a 128^3 x 48ch volume). Same param names/shapes as
-            # nn.Conv so checkpoints are interchangeable.
-            kernel = self.param("kernel", torch_kaiming_uniform(fan_in),
-                                (1, 1, 1, x.shape[-1], self.features))
-            dt = self.dtype or x.dtype
-            y = jnp.einsum("...c,ce->...e", x.astype(dt),
-                           kernel[0, 0, 0].astype(dt))
-            if self.use_bias:
-                bias = self.param("bias", torch_bias_uniform(fan_in),
-                                  (self.features,))
-                y = y + bias.astype(dt)
-            return y
-        return nn.Conv(
-            features=self.features,
-            kernel_size=ks,
-            strides=strides,
-            padding=[(self.padding, self.padding)] * 3,
-            use_bias=self.use_bias,
-            kernel_init=torch_kaiming_uniform(fan_in),
-            bias_init=torch_bias_uniform(fan_in),
-            dtype=self.dtype,
-        )(x)
+            # 2.7 ms on a 128^3 x 48ch volume).
+            y = jnp.einsum("...c,ce->...e", x, kern[0, 0, 0])
+        elif (ks == (3, 3, 3) and strides == (1, 1, 1) and self.padding == 1
+                and d * h * w >= 128 ** 3 and cin <= 96):
+            # k3s1 conv as a conv2d with depth folded into batch and the
+            # depth taps folded into input channels: XLA's TPU conv3d
+            # emitter runs the model's low-channel full-resolution convs at
+            # ~27 Tflop/s while the equivalent conv2d runs at ~66 (measured
+            # 9.5 ms vs 4.0 ms for 128^3 x 48ch).
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            xcat = jnp.concatenate([xp[:, kd:kd + d] for kd in range(3)],
+                                   axis=-1)
+            wcat = jnp.transpose(kern, (1, 2, 0, 3, 4)).reshape(
+                3, 3, 3 * cin, self.features)
+            y = jax.lax.conv_general_dilated(
+                xcat.reshape(b * d, h, w, 3 * cin), wcat, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(b, d, h, w, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kern, strides, [(self.padding, self.padding)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
 
 
 class ConvTranspose3d(nn.Module):
     """Transposed 3-D conv (stride-2 upsampling in the decoder),
-    channels-last, torch-default init."""
+    channels-last, torch-default init. Param layout matches flax
+    nn.ConvTranspose ("kernel" (kz,ky,kx,Cin,Cout)) but lives directly on
+    this module."""
 
     features: int
     kernel_size: int = 2
@@ -113,16 +131,17 @@ class ConvTranspose3d(nn.Module):
     def __call__(self, x):
         ks = (self.kernel_size,) * 3
         fan_in = x.shape[-1] * self.kernel_size ** 3
-        return nn.ConvTranspose(
-            features=self.features,
-            kernel_size=ks,
-            strides=(self.stride,) * 3,
-            padding="VALID",
-            use_bias=self.use_bias,
-            kernel_init=torch_kaiming_uniform(fan_in),
-            bias_init=torch_bias_uniform(fan_in),
-            dtype=self.dtype,
-        )(x)
+        kernel = self.param("kernel", torch_kaiming_uniform(fan_in),
+                            ks + (x.shape[-1], self.features))
+        dt = self.dtype or x.dtype
+        y = jax.lax.conv_transpose(
+            x.astype(dt), kernel.astype(dt), (self.stride,) * 3, "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_uniform(fan_in),
+                              (self.features,))
+            y = y + bias.astype(dt)
+        return y
 
 
 class TorchLinear(nn.Module):

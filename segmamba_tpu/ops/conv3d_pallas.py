@@ -199,6 +199,120 @@ def _conv3d_dw(x, dy):
     return jnp.transpose(dwk.reshape(3, cin, 3, 3, cout), (0, 2, 3, 1, 4))
 
 
+# ---------------------------------------------------------------------------
+# v2: lane-aligned P-form. v1's profile showed the 9 P slices at 48·g lane
+# offsets lower to expensive lane-shuffle relayouts (every group boundary is
+# misaligned w.r.t. the 128-lane tile). v2 pads each tap group's Cout to
+# ``npad`` lanes (128 → slices are whole lane tiles; 64 → half-tile selects)
+# and each depth-tap's Cin to ``kpad`` in the folded K dimension. More MXU
+# FLOPs, but all VPU ops become (near-)aligned.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(x0_ref, x1_ref, x2_ref, wk_ref, out_ref, *, bh, w_out, cout,
+               kpad, npad):
+    cin = x0_ref.shape[-1]
+
+    def padc(ref):
+        t = ref[0, 0, 0]
+        if cin == kpad:
+            return t
+        return jnp.pad(t, ((0, 0), (0, 0), (0, kpad - cin)))
+
+    lhs = jnp.concatenate([padc(x0_ref), padc(x1_ref), padc(x2_ref)], axis=-1)
+    p = jax.lax.dot_general(
+        lhs, wk_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    p = p.astype(x0_ref.dtype)                 # (BH+2, W+2, 9*npad)
+    y = None
+    for kh in range(3):
+        for kw in range(3):
+            g = kh * 3 + kw
+            sl = p[kh:kh + bh, kw:kw + w_out,
+                   g * npad:g * npad + cout].astype(jnp.float32)
+            y = sl if y is None else y + sl
+    out_ref[0, 0, 0] = y.astype(out_ref.dtype)
+
+
+def _build_wk_v2(w, kpad, npad):
+    """w (3,3,3,Cin,Cout) -> Wk (3*kpad, 9*npad); K=(kd,ci-pad),
+    N=(kh,kw,co-pad)."""
+    _, _, _, cin, cout = w.shape
+    wk = jnp.transpose(w, (0, 3, 1, 2, 4))          # (kd, ci, kh, kw, co)
+    wk = jnp.pad(wk, ((0, 0), (0, kpad - cin), (0, 0), (0, 0),
+                      (0, npad - cout)))
+    return wk.reshape(3 * kpad, 9 * npad)
+
+
+def _pick_bh_v2(h, w, npad, itemsize):
+    budget = 6 * 1024 * 1024
+    for bh in (16, 8, 4, 2, 1):
+        if h % bh:
+            continue
+        p_bytes = (bh + 2) * (w + 2) * 9 * npad * itemsize
+        if p_bytes <= budget or bh == 1:
+            return bh
+    return 1
+
+
+def _pick_pads(cin, cout):
+    kpad = {48: 64, 96: 96}.get(cin, _round_up(cin, 32))
+    npad = 128 if cout <= 128 else _round_up(cout, 128)
+    return kpad, npad
+
+
+def _conv3d_k3s1_v2_impl(x, w, kpad=None, npad=None):
+    b, d, h, wdim, cin = x.shape
+    cout = w.shape[-1]
+    kp, np_ = _pick_pads(cin, cout)
+    kpad = kpad or kp
+    npad = npad or np_
+    bh = _pick_bh_v2(h, wdim, npad, jnp.dtype(x.dtype).itemsize)
+    nh = h // bh
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    xov = _overlap_h(xp, bh)  # (B, D+2, nH, BH+2, W+2, C)
+    wk = _build_wk_v2(w, kpad, npad).astype(x.dtype)
+
+    def in_spec(kd):
+        return pl.BlockSpec((1, 1, 1, bh + 2, wdim + 2, cin),
+                            lambda b_, d_, h_, kd=kd: (b_, d_ + kd, h_, 0, 0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, bh=bh, w_out=wdim, cout=cout,
+                          kpad=kpad, npad=npad),
+        grid=(b, d, nh),
+        in_specs=[in_spec(0), in_spec(1), in_spec(2),
+                  pl.BlockSpec((3 * kpad, 9 * npad),
+                               lambda b_, d_, h_: (0, 0))],
+        out_specs=pl.BlockSpec((1, 1, 1, bh, wdim, cout),
+                               lambda b_, d_, h_: (b_, d_, h_, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d, nh, bh, wdim, cout), x.dtype),
+        interpret=_interpret(),
+    )(xov, xov, xov, wk)
+    return out.reshape(b, d, h, wdim, cout)
+
+
+@jax.custom_vjp
+def conv3d_k3s1_v2(x, w):
+    """Lane-aligned P-form 3D conv, kernel 3, stride 1, SAME, channels-last."""
+    return _conv3d_k3s1_v2_impl(x, w)
+
+
+def _conv3d_v2_fwd(x, w):
+    return _conv3d_k3s1_v2_impl(x, w), (x, w)
+
+
+def _conv3d_v2_bwd(res, dy):
+    x, w = res
+    wt = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx = _conv3d_k3s1_v2_impl(dy.astype(x.dtype), wt.astype(x.dtype))
+    dw = _conv3d_dw(x, dy)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv3d_k3s1_v2.defvjp(_conv3d_v2_fwd, _conv3d_v2_bwd)
+
+
 def conv3d_k3s1_supported(x_shape, w_shape):
     """Whether the Pallas path handles this conv (k3, s1, SAME, 5-D) within
     its VMEM budget. Above ~192 channels the folded weight block

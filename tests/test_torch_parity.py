@@ -33,12 +33,12 @@ def test_conv3d_matches_torch():
     out = m.apply(params, x)
 
     tm = torch.nn.Conv3d(3, 5, 3, stride=2, padding=1)
-    k = np.asarray(params["params"]["Conv_0"]["kernel"])  # (kz,ky,kx,Cin,Cout)
+    k = np.asarray(params["params"]["kernel"])  # (kz,ky,kx,Cin,Cout)
     with torch.no_grad():
         tm.weight.copy_(torch.from_numpy(
             np.transpose(k, (4, 3, 0, 1, 2)).copy()))
         tm.bias.copy_(torch.from_numpy(
-            np.asarray(params["params"]["Conv_0"]["bias"])))
+            np.asarray(params["params"]["bias"])))
     want = _from_torch_out(tm(_to_torch_in(x)))
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
 
@@ -51,7 +51,7 @@ def test_conv_transpose3d_matches_torch():
     out = m.apply(params, x)
 
     tm = torch.nn.ConvTranspose3d(4, 3, 2, stride=2, bias=False)
-    k = np.asarray(params["params"]["ConvTranspose_0"]["kernel"])
+    k = np.asarray(params["params"]["kernel"])
     # flax ConvTranspose kernel: (kz,ky,kx,Cin,Cout); torch: (Cin,Cout,kz,ky,kx)
     # and the two parameterizations differ by a spatial flip (same function
     # family — equivalent up to kernel reorientation)
@@ -115,7 +115,7 @@ def test_unet_res_block_matches_torch():
     with torch.no_grad():
         for tw, key in [(tm.conv1, "conv1"), (tm.conv2, "conv2"),
                         (tm.conv3, "conv3")]:
-            k = np.asarray(p[key]["Conv_0"]["kernel"])
+            k = np.asarray(p[key]["kernel"])
             tw.weight.copy_(torch.from_numpy(
                 np.transpose(k, (4, 3, 0, 1, 2)).copy()))
     want = _from_torch_out(tm(_to_torch_in(x)))
