@@ -31,6 +31,11 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard the batch over all local devices")
+    ap.add_argument("--seq-parallel", type=int, default=1, metavar="N",
+                    help="shard every Mamba layer's token sequence over N "
+                         "devices (2-D data x seq mesh; composes with "
+                         "--data-parallel — a capability the reference "
+                         "lacks, SURVEY.md 2.6)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     # model-size overrides (debug/small-scale runs; defaults = BraTS recipe)
@@ -107,12 +112,24 @@ def main():
                 self.epoch)
             return mean_dice
 
-    mesh = make_mesh() if args.data_parallel else None
+    sp = args.seq_parallel
+    if sp > 1:
+        n_dev = len(jax.devices())
+        dp = n_dev // sp if args.data_parallel else 1
+        if dp * sp > n_dev or n_dev % sp != 0:
+            raise SystemExit(f"--seq-parallel {sp} does not divide "
+                             f"{n_dev} devices")
+        mesh = make_mesh(dp * sp, ("data", "seq"), shape=(dp, sp))
+        sp_kw = dict(mesh=mesh, seq_axis="seq",
+                     batch_axis="data" if args.data_parallel else None)
+    else:
+        mesh = make_mesh() if args.data_parallel else None
+        sp_kw = {}
     model = SegMamba(in_chans=4, out_chans=4, depths=tuple(args.depths),
                      feat_size=tuple(args.feats),
                      hidden_size=args.hidden_size,
                      num_slices_list=tuple(args.num_slices), dtype=dtype,
-                     remat=True)
+                     remat=True, **sp_kw)
     trainer = BraTSTrainer(
         model, args.logdir, max_epochs=args.max_epochs,
         batch_size=args.batch_size, val_every=args.val_every,

@@ -95,6 +95,13 @@ class MambaV3(nn.Module):
     scan_impl: str = "auto"
     scan_chunk: int = 128
     dtype: jnp.dtype = jnp.float32
+    # sequence parallelism: when ``mesh`` is set, the inner op (conv + scan)
+    # runs under shard_map with the token dim sharded over ``seq_axis``
+    # (exact — carry/halo exchanged over ICI; a capability the reference
+    # lacks, SURVEY.md §2.6). ``batch_axis`` composes with data parallelism.
+    mesh: object = None
+    seq_axis: str = "seq"
+    batch_axis: str | None = None
 
     def _direction_params(self, suffix, d_inner, dt_rank):
         """One parameter set (conv, x_proj, dt_proj, A_log, D) per direction,
@@ -135,6 +142,20 @@ class MambaV3(nn.Module):
             d_state=self.d_state, impl=self.scan_impl,
             chunk_size=self.scan_chunk)
 
+    def _run_direction_sharded(self, xz, params, reverse, batch_axis):
+        from segmamba_tpu.ops.scan_sharded import mamba_inner_sharded
+
+        conv_w, conv_b, x_proj, dt_proj, dt_bias, A_log, D = params
+        A = -jnp.exp(A_log.astype(jnp.float32))
+        return mamba_inner_sharded(
+            xz, conv_w.astype(self.dtype),
+            None if conv_b is None else conv_b.astype(self.dtype),
+            x_proj.astype(self.dtype), dt_proj.astype(self.dtype),
+            dt_bias.astype(jnp.float32), A, D.astype(jnp.float32),
+            d_state=self.d_state, mesh=self.mesh, seq_axis=self.seq_axis,
+            batch_axis=batch_axis, impl=self.scan_impl,
+            chunk_size=self.scan_chunk, reverse=reverse)
+
     def _run_directions_batched(self, xz3, params3, batch):
         """All three orientations as ONE batched inner op: the direction
         index rides the batch dim, per-direction weights become per-batch
@@ -170,6 +191,78 @@ class MambaV3(nn.Module):
             rep(D3.astype(jnp.float32)), rep(dt_bias3.astype(jnp.float32)),
             chunk_size=self.scan_chunk)
 
+    def _run_directions_dir(self, xz, psets, batch, nslices):
+        """All orientations over the ORIGINAL layout — no flip/interleave
+        copies. The conv handles direction algebraically
+        (causal_conv1d_directional), projections are per-token
+        (order-free), and the scan kernel walks the data in each
+        orientation's order via BlockSpec index maps + in-VMEM tile
+        reversal/transposition (ops/scan_pallas_dir.py). Removes the
+        reorder glue that dominated the round-1 profile."""
+        from segmamba_tpu.ops.causal_conv1d import causal_conv1d_directional
+        from segmamba_tpu.ops.scan_pallas_dir import (
+            mamba_scan_fused_dir,
+            mamba_scan_fused_slice,
+            slice_scan_supported,
+        )
+
+        conv_w3, conv_b3, x_proj3, dt_proj3, dt_bias3, A_log3, D3 = tuple(
+            None if ps[0] is None else jnp.stack(ps)
+            for ps in zip(*psets))
+        g = conv_w3.shape[0]
+        use_slice = g == 3
+        d_inner = xz.shape[-1] // 2
+        dt_rank = x_proj3.shape[-1] - 2 * self.d_state
+        x, z = xz[..., :d_inner], xz[..., d_inner:]
+        L = x.shape[1]
+
+        xc = causal_conv1d_directional(
+            x, conv_w3.astype(self.dtype),
+            None if conv_b3 is None else conv_b3.astype(self.dtype),
+            activation="silu",
+            nslices=nslices if use_slice else None)     # (g, b, L, Din)
+        x_dbl = jnp.einsum("gbld,gde->gble", xc, x_proj3.astype(xc.dtype))
+        dt = jnp.einsum("gblr,grd->gbld", x_dbl[..., :dt_rank],
+                        dt_proj3.astype(xc.dtype))
+        Bm = x_dbl[..., dt_rank:dt_rank + self.d_state]
+        Cm = x_dbl[..., dt_rank + self.d_state:]
+        A3 = -jnp.exp(A_log3.astype(jnp.float32))       # (g, Din, N)
+        D3f = D3.astype(jnp.float32)
+        bias3f = dt_bias3.astype(jnp.float32)
+        rep = lambda p, g: jnp.repeat(p[g:g + 1], batch, axis=0)
+
+        combined = mamba_scan_fused_dir(
+            xc[0], dt[0], z, rep(A3, 0), Bm[0], Cm[0], rep(D3f, 0),
+            rep(bias3f, 0), chunk_size=self.scan_chunk)
+        combined = combined + mamba_scan_fused_dir(
+            xc[1], dt[1], z, rep(A3, 1), Bm[1], Cm[1], rep(D3f, 1),
+            rep(bias3f, 1), reverse=True, chunk_size=self.scan_chunk)
+
+        if use_slice:
+            from segmamba_tpu.ops.scan_pallas import _interpret
+            # The (S, Tp) BlockSpec scheme needs Tp >= 8 sublanes on real
+            # hardware (Mosaic block-divisibility); until the kernel grows
+            # that layout, the on-chip path interleaves the (smaller,
+            # post-conv) scan operands instead — still cheaper than the
+            # old path's pre-conv xz interleave + output deinterleave.
+            if slice_scan_supported(L, nslices, self.scan_chunk) \
+                    and _interpret():
+                out_s = mamba_scan_fused_slice(
+                    xc[2], dt[2], z, rep(A3, 2), Bm[2], Cm[2], rep(D3f, 2),
+                    rep(bias3f, 2), nslices=nslices,
+                    chunk_size=self.scan_chunk)
+                combined = combined + out_s
+            else:
+                # irregular shapes / on-chip: interleave the (already-
+                # convolved) activations and reuse the forward kernel
+                il = lambda a: slice_interleave(a, nslices)
+                out_s = mamba_scan_fused_dir(
+                    il(xc[2]), il(dt[2]), il(z), rep(A3, 2), il(Bm[2]),
+                    il(Cm[2]), rep(D3f, 2), rep(bias3f, 2),
+                    chunk_size=self.scan_chunk)
+                combined = combined + slice_deinterleave(out_s, nslices)
+        return combined
+
     @nn.compact
     def __call__(self, hidden_states):
         """hidden_states: (batch, L, d_model) -> same shape."""
@@ -194,10 +287,41 @@ class MambaV3(nn.Module):
         p_s = (self._direction_params("_s", d_inner, dt_rank)
                if use_slice else None)
 
-        use_batched = (self.scan_impl == "fused"
-                       or (self.scan_impl in ("auto", "pallas")
-                           and jax.default_backend() == "tpu"))
-        if use_batched:
+        # SP only helps (and only works) when every shard holds at least a
+        # conv window of tokens; tiny deep stages fall back to the local path
+        use_sp = False
+        sp_batch_axis = self.batch_axis
+        if self.mesh is not None:
+            axis_size = dict(zip(self.mesh.axis_names,
+                                 self.mesh.devices.shape))
+            n_seq = axis_size[self.seq_axis]
+            use_sp = L % n_seq == 0 and L // n_seq >= self.d_conv
+            # init/odd-batch traces: drop the batch axis when it doesn't
+            # divide (the seq sharding alone is still exact)
+            if (sp_batch_axis is not None
+                    and b % axis_size[sp_batch_axis] != 0):
+                sp_batch_axis = None
+        use_dir = not use_sp and self.scan_impl == "dir"
+        use_batched = (not use_sp and not use_dir
+                       and (self.scan_impl == "fused"
+                            or (self.scan_impl in ("auto", "pallas")
+                                and jax.default_backend() == "tpu")))
+        if use_sp:
+            # sequence-parallel path: the flip direction runs in-place as a
+            # reversed sharded scan (no flipped copy crosses devices); the
+            # slice direction's interleave is a jit-level resharding permute
+            combined = self._run_direction_sharded(xz, p_f, False,
+                                                   sp_batch_axis)
+            combined = combined + self._run_direction_sharded(
+                xz, p_b, True, sp_batch_axis)
+            if use_slice:
+                out_s = self._run_direction_sharded(
+                    slice_interleave(xz, nslices), p_s, False, sp_batch_axis)
+                combined = combined + slice_deinterleave(out_s, nslices)
+        elif use_dir:
+            psets = [p_f, p_b] + ([p_s] if use_slice else [])
+            combined = self._run_directions_dir(xz, psets, b, nslices)
+        elif use_batched:
             branches = [xz, jnp.flip(xz, axis=1)]
             psets = [p_f, p_b]
             if use_slice:

@@ -48,6 +48,9 @@ class MambaLayer(nn.Module):
     num_slices: int | None = None
     scan_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
+    mesh: object = None          # sequence-parallel mesh (see MambaV3)
+    seq_axis: str = "seq"
+    batch_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -62,7 +65,9 @@ class MambaLayer(nn.Module):
         x_mamba = MambaV3(
             d_model=self.dim, d_state=self.d_state, d_conv=self.d_conv,
             expand=self.expand, nslices=self.num_slices,
-            scan_impl=self.scan_impl, dtype=self.dtype, name="mamba")(x_norm)
+            scan_impl=self.scan_impl, dtype=self.dtype, mesh=self.mesh,
+            seq_axis=self.seq_axis, batch_axis=self.batch_axis,
+            name="mamba")(x_norm)
         return x_mamba.reshape(b, *spatial, c) + x
 
 
@@ -112,6 +117,9 @@ class MambaEncoder(nn.Module):
     scan_impl: str = "auto"
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    mesh: object = None          # sequence-parallel mesh (see MambaV3)
+    seq_axis: str = "seq"
+    batch_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -132,6 +140,8 @@ class MambaEncoder(nn.Module):
                 x = layer_cls(
                     dim=self.dims[i], num_slices=self.num_slices_list[i],
                     scan_impl=self.scan_impl, dtype=self.dtype,
+                    mesh=self.mesh, seq_axis=self.seq_axis,
+                    batch_axis=self.batch_axis,
                     name=f"stage{i}_block{j}")(x)
             if i in self.out_indices:
                 h = instance_norm(x)
@@ -158,6 +168,9 @@ class SegMamba(nn.Module):
     scan_impl: str = "auto"
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    mesh: object = None          # sequence-parallel mesh (see MambaV3)
+    seq_axis: str = "seq"
+    batch_axis: str | None = None
 
     @nn.compact
     def __call__(self, x_in):
@@ -170,7 +183,9 @@ class SegMamba(nn.Module):
         outs = MambaEncoder(
             in_chans=self.in_chans, depths=self.depths, dims=f,
             num_slices_list=self.num_slices_list, scan_impl=self.scan_impl,
-            remat=self.remat, dtype=self.dtype, name="vit")(x_in)
+            remat=self.remat, dtype=self.dtype, mesh=self.mesh,
+            seq_axis=self.seq_axis, batch_axis=self.batch_axis,
+            name="vit")(x_in)
 
         enc1 = basic(f[0], dtype=self.dtype, name="encoder1")(x_in)
         enc2 = basic(f[1], dtype=self.dtype, name="encoder2")(outs[0])

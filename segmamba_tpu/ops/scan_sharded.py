@@ -42,20 +42,57 @@ def _shard_map(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs)
 
 
-def causal_conv1d_sharded_local(x, weight, bias, axis_name, activation=None):
-    """Per-shard causal conv with a left halo from the previous shard.
-    x: local (batch, L_loc, dim)."""
+def causal_conv1d_sharded_local(x, weight, bias, axis_name, activation=None,
+                                reverse=False):
+    """Per-shard causal conv with a halo from the scan-order predecessor
+    shard. x: local (batch, L_loc, dim), already in local scan order. With
+    ``reverse=True`` the global scan runs right-to-left over locally-flipped
+    shards, so shard i's predecessor is shard i+1 and the first shard in
+    scan order is the LAST device."""
     width = weight.shape[0]
     n = lax.axis_size(axis_name)
-    # fetch the last (width-1) tokens of the LEFT neighbour
-    tail = x[:, -(width - 1):, :]
-    halo = lax.ppermute(tail, axis_name,
-                        perm=[(i, (i + 1) % n) for i in range(n)])
     idx = lax.axis_index(axis_name)
-    halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+    # fetch the last (width-1) tokens of the scan-order predecessor
+    tail = x[:, -(width - 1):, :]
+    if reverse:
+        perm = [(i, (i - 1) % n) for i in range(n)]
+        first = n - 1
+    else:
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        first = 0
+    halo = lax.ppermute(tail, axis_name, perm=perm)
+    halo = jnp.where(idx == first, jnp.zeros_like(halo), halo)
     xx = jnp.concatenate([halo, x], axis=1)
     y = causal_conv1d(xx, weight, bias, activation=activation)
     return y[:, width - 1:, :]
+
+
+def _entry_state(decay, last_loc, axis_name, reverse=False):
+    """Entry state for this shard from all shards' (decay, last) pairs:
+    ``entry_i = sum_{j<i} (prod_{j<k<i} decay_k) last_j`` over SCAN order —
+    the exclusive prefix of the first-order recurrence ``e_i =
+    decay_{i-1} e_{i-1} + last_{i-1}``, computed with an O(log n)
+    associative scan over the gathered pairs (pod-scalable; replaces the
+    round-1 O(n^2) masked fold). With ``reverse=True`` scan position is
+    ``n-1-device_index`` (global right-to-left order).
+    """
+    idx = lax.axis_index(axis_name)
+    pair = jnp.stack([decay, last_loc], axis=0)          # (2, b, d, n)
+    gathered = lax.all_gather(pair, axis_name)           # (ndev, 2, b, d, n)
+    if reverse:
+        gathered = jnp.flip(gathered, axis=0)
+        idx = lax.axis_size(axis_name) - 1 - idx
+    # exclusive shift: element i sees pairs 0..i-1
+    a = jnp.concatenate([jnp.ones_like(decay)[None], gathered[:-1, 0]], 0)
+    b = jnp.concatenate([jnp.zeros_like(last_loc)[None], gathered[:-1, 1]], 0)
+
+    def combine(c1, c2):
+        a1, b1 = c1
+        a2, b2 = c2
+        return a1 * a2, a2 * b1 + b2
+
+    _, bb = lax.associative_scan(combine, (a, b), axis=0)
+    return jnp.take(bb, idx, axis=0)
 
 
 def _scan_local_core(u, delta, A, B, C, impl, chunk_size):
@@ -71,22 +108,21 @@ def _scan_local_core(u, delta, A, B, C, impl, chunk_size):
 
 def selective_scan_sharded(u, delta, A, B, C, D=None, z=None, delta_bias=None,
                            delta_softplus=False, *, mesh, seq_axis="seq",
-                           impl="auto", chunk_size=128):
+                           batch_axis=None, impl="auto", chunk_size=128):
     """Selective scan with the sequence dim sharded over ``seq_axis``.
 
     Same contract as ``selective_scan`` (time-major, time-varying B/C);
     ``u/delta/B/C/z`` are sharded on dim 1, parameters replicated. Exact —
-    matches the single-device scan up to float32 rounding.
+    matches the single-device scan up to float32 rounding. Pass
+    ``batch_axis`` to compose with data parallelism on a 2-D mesh.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "chunked"
 
-    seq_spec = P(None, seq_axis, None)
+    seq_spec = P(batch_axis, seq_axis, None)
     has_d, has_z, has_bias = D is not None, z is not None, delta_bias is not None
 
     def local_fn(u, delta, B, C, A, D_skip, bias, z):
-        n = lax.axis_size(seq_axis)
-        idx = lax.axis_index(seq_axis)
         uf = u.astype(jnp.float32)
         d = _preprocess_delta(delta, bias if has_bias else None,
                               delta_softplus)
@@ -100,19 +136,7 @@ def selective_scan_sharded(u, delta, A, B, C, D=None, z=None, delta_bias=None,
         # chunk decay: prod_t exp(d_t A) = exp(A * sum_t d_t)
         sum_d = jnp.sum(d, axis=1)                       # (batch, dim)
         decay = jnp.exp(sum_d[..., None] * Af)           # (batch, dim, N)
-
-        pair = jnp.stack([decay, last_loc], axis=0)      # (2, b, d, n)
-        gathered = lax.all_gather(pair, seq_axis)        # (ndev, 2, b, d, n)
-
-        # entry state for this shard: fold earlier shards' (decay, last)
-        entry = jnp.zeros_like(last_loc)
-        for j in range(n):
-            contrib_on = (j < idx).astype(jnp.float32)
-            scale_j = jnp.ones_like(decay)
-            for k in range(n):
-                use = jnp.logical_and(k > j, k < idx).astype(jnp.float32)
-                scale_j = scale_j * (gathered[k, 0] * use + (1.0 - use))
-            entry = entry + contrib_on * scale_j * gathered[j, 1]
+        entry = _entry_state(decay, last_loc, seq_axis)
 
         # local fix-up: y_t += C_t · (exp(A·cumsum(d)_t) * entry)
         cd = jnp.cumsum(d, axis=1)                        # (b, L, dim)
@@ -136,18 +160,26 @@ def selective_scan_sharded(u, delta, A, B, C, D=None, z=None, delta_bias=None,
 
 def mamba_inner_sharded(xz, conv_weight, conv_bias, x_proj, dt_proj, dt_bias,
                         A, D_skip, *, d_state, mesh, seq_axis="seq",
-                        impl="auto", chunk_size=128):
+                        batch_axis=None, impl="auto", chunk_size=128,
+                        reverse=False):
     """Sequence-parallel ``mamba_inner``: conv halo exchange + sharded scan.
-    xz: (batch, L, 2*d_inner) sharded on dim 1."""
+    xz: (batch, L, 2*d_inner) sharded on dim 1. ``reverse=True`` runs the
+    whole inner op right-to-left (the bimamba flip direction) without
+    materializing a flipped copy across shards: inputs/outputs stay in
+    original order; only the tiny halo/carry exchanges change direction.
+    Pass ``batch_axis`` to compose with data parallelism on a 2-D mesh."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "chunked"
-    seq_spec = P(None, seq_axis, None)
+    seq_spec = P(batch_axis, seq_axis, None)
 
     def local_fn(xz, conv_w, conv_b, x_proj_w, dt_proj_w, dt_b, A_, D_):
         d_inner = xz.shape[-1] // 2
         x, zgate = xz[..., :d_inner], xz[..., d_inner:]
+        if reverse:
+            x = jnp.flip(x, axis=1)
+            zgate = jnp.flip(zgate, axis=1)
         x = causal_conv1d_sharded_local(x, conv_w, conv_b, seq_axis,
-                                        activation="silu")
+                                        activation="silu", reverse=reverse)
         x_dbl = jnp.einsum("bld,de->ble", x, x_proj_w.astype(x.dtype))
         dt_rank = x_proj_w.shape[1] - 2 * d_state
         dt = jnp.einsum("blr,rd->bld", x_dbl[..., :dt_rank],
@@ -156,8 +188,6 @@ def mamba_inner_sharded(xz, conv_weight, conv_bias, x_proj, dt_proj, dt_bias,
         Cm = x_dbl[..., dt_rank + d_state:]
 
         # inline the sharded scan (we're already inside shard_map)
-        n = lax.axis_size(seq_axis)
-        idx = lax.axis_index(seq_axis)
         uf = x.astype(jnp.float32)
         d = _preprocess_delta(dt, dt_b, True)
         Af = A_.astype(jnp.float32)
@@ -167,26 +197,25 @@ def mamba_inner_sharded(xz, conv_weight, conv_bias, x_proj, dt_proj, dt_bias,
                                            chunk_size)
         sum_d = jnp.sum(d, axis=1)
         decay = jnp.exp(sum_d[..., None] * Af)
-        pair = jnp.stack([decay, last_loc], axis=0)
-        gathered = lax.all_gather(pair, seq_axis)
-        entry = jnp.zeros_like(last_loc)
-        for j in range(n):
-            on = (j < idx).astype(jnp.float32)
-            scale = jnp.ones_like(decay)
-            for k in range(n):
-                use = jnp.logical_and(k > j, k < idx).astype(jnp.float32)
-                scale = scale * (gathered[k, 0] * use + (1.0 - use))
-            entry = entry + on * scale * gathered[j, 1]
+        entry = _entry_state(decay, last_loc, seq_axis, reverse=reverse)
         cd = jnp.cumsum(d, axis=1)
         y_fix = jnp.einsum("bln,bldn->bld", Cm.astype(jnp.float32),
                            jnp.exp(cd[..., None] * Af) * entry[:, None])
         y = y_loc + y_fix
-        return _postprocess(y, x, D_, zgate, xz.dtype)
+        out = _postprocess(y, x, D_, zgate, xz.dtype)
+        return jnp.flip(out, axis=1) if reverse else out
 
     fn = _shard_map(local_fn, mesh,
                     in_specs=(seq_spec, P(), P(), P(), P(), P(), P(), P()),
                     out_specs=seq_spec)
-    return fn(xz, conv_weight,
-              conv_bias if conv_bias is not None
-              else jnp.zeros(conv_weight.shape[1], jnp.float32),
-              x_proj, dt_proj, dt_bias, A, D_skip)
+    from jax.sharding import NamedSharding
+    rep = NamedSharding(mesh, P())
+    cb = (conv_bias if conv_bias is not None
+          else jnp.zeros(conv_weight.shape[1], jnp.float32))
+    # pin shardings so jit-level propagation can't disagree with the
+    # shard_map in_specs (params replicated, activations seq-sharded)
+    xz = lax.with_sharding_constraint(xz, NamedSharding(mesh, seq_spec))
+    conv_weight, cb, x_proj, dt_proj, dt_bias, A, D_skip = (
+        lax.with_sharding_constraint(p, rep)
+        for p in (conv_weight, cb, x_proj, dt_proj, dt_bias, A, D_skip))
+    return fn(xz, conv_weight, cb, x_proj, dt_proj, dt_bias, A, D_skip)

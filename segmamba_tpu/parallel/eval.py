@@ -34,14 +34,45 @@ def distributed_concat(per_shard_results, n_total):
     return flat[:n_total]
 
 
-def eval_map(fn, items, n_shards=None):
-    """Run ``fn`` over items sharded like SequentialDistributedSampler and
-    reassemble in order. Host-side driver for per-case eval loops."""
-    n_shards = n_shards or jax.device_count()
+def eval_map(fn, items, n_shards=None, devices=None):
+    """Run ``fn`` over items sharded like SequentialDistributedSampler,
+    each shard pinned to one local device and driven from its own thread,
+    and reassemble in order.
+
+    Per-case eval work is shape-dynamic (whole volumes), so it cannot be
+    batched into one program; instead each shard's host thread dispatches
+    its cases under ``jax.default_device(dev)`` — async dispatch overlaps
+    the device work across all local chips (the reference's
+    SequentialDistributedSampler+DDP achieves the same with one process
+    per GPU, light_training/sampler.py:5-41). Wrap-around padding indices
+    (torch needs them for lockstep collectives) are simply skipped here.
+    """
+    import threading
+
+    devices = list(devices if devices is not None else jax.local_devices())
+    n_shards = n_shards or len(devices)
     shards, _ = sequential_shards(len(items), n_shards)
     results = [None] * len(items)
-    for chunk in shards:
+    claimed = [False] * len(items)
+    lock = threading.Lock()
+
+    def run_shard(s, chunk):
+        dev = devices[s % len(devices)]
         for i in chunk:
-            if results[i] is None:
+            with lock:
+                if claimed[i]:
+                    continue
+                claimed[i] = True
+            with jax.default_device(dev):
                 results[i] = fn(items[i])
+
+    if len(shards) == 1:
+        run_shard(0, shards[0])
+        return results
+    threads = [threading.Thread(target=run_shard, args=(s, chunk))
+               for s, chunk in enumerate(shards)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     return results

@@ -14,15 +14,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None,
-              axis_names: tuple[str, ...] = ("data",)) -> Mesh:
-    """Build a mesh over the first ``n_devices`` devices (all by default)."""
+              axis_names: tuple[str, ...] = ("data",),
+              shape: tuple[int, ...] | None = None) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices (all by default).
+
+    By default all devices land on the first axis. Pass ``shape`` (same
+    length as ``axis_names``, product = device count) for true 2-D meshes,
+    e.g. ``make_mesh(8, ("data", "seq"), shape=(2, 4))`` for DP x SP.
+    """
     devices = jax.devices()
     if n_devices is not None:
         if n_devices > len(devices):
             raise ValueError(
                 f"requested {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
-    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
