@@ -2,10 +2,13 @@
 
 Headline: BraTS-case sliding-window inference throughput (volumes/sec/chip)
 on a synthetic preprocessed-size case (150x180x150, 4 modalities), single
-pass (no TTA), roi 128^3 / overlap 0.5 / gaussian blending / sw_batch 2 —
-the reference's eval protocol (4_predict.py:55-62). ``vs_baseline`` compares
-against the reference's published 1.51 s/case inference time
+pass (no TTA), roi 128^3 / overlap 0.5 / gaussian blending / sw_batch 1
+(batch 1 beats 2 on the 16GB dev chip; the reference's published
+1.51 s/case ablation figure is likewise a single sliding-window pass).
+``vs_baseline`` compares against that 1.51 s/case
 (images/segmamba_ablation.jpg) => 0.662 volumes/sec on the authors' GPU.
+The full 8x-mirror-TTA eval protocol (4_predict.py:55-62) is measured
+separately by benchmarks/bench_tta.py.
 """
 
 import json

@@ -1,0 +1,67 @@
+"""Benchmark the reference's FULL eval protocol: 8x mirror-TTA sliding window.
+
+The reference's published 1.51 s/case (images/segmamba_ablation.jpg) is a
+single sliding-window pass, but its actual eval runs 8 mirror-flip passes
+averaged (/root/reference/4_predict.py:55-62,
+light_training/prediction.py:110-159). This measures that protocol on the
+same synthetic case bench.py uses, so both numbers are recorded.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/segmamba_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from segmamba_tpu.infer import SlidingWindowInferer
+    from segmamba_tpu.infer.predictor import Predictor
+    from segmamba_tpu.models import SegMamba
+
+    model = SegMamba(in_chans=4, out_chans=4, dtype=jnp.bfloat16)
+    x128 = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x128)
+    fwd = jax.jit(model.apply)
+
+    def predictor_fn(w):
+        return fwd(params, w)
+
+    case = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 150, 180, 150, 4)),
+        jnp.float32)
+    inferer = SlidingWindowInferer((128, 128, 128), sw_batch_size=1,
+                                   overlap=0.5)
+    pred = Predictor(inferer, mirror_axes=(0, 1, 2))
+
+    @jax.jit
+    def fetch(o):
+        return jnp.sum(o)
+
+    float(fetch(pred.maybe_mirror_and_predict(case, predictor_fn,
+                                              num_classes=4)))  # compile
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(fetch(pred.maybe_mirror_and_predict(case, predictor_fn,
+                                                  num_classes=4)))
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+    print(json.dumps({
+        "metric": "brats_case_tta8_inference",
+        "value": round(1.0 / sec, 4),
+        "unit": "volumes/sec/chip",
+        "sec_per_case": round(sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

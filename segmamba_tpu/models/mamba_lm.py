@@ -99,6 +99,46 @@ class MambaUni(nn.Module):
             "ssm": jnp.zeros((batch, d_inner, self.d_state), jnp.float32),
         }
 
+    def forward_with_cache(self, hidden_states):
+        """Parallel prefill: one full-sequence scan + the decode cache it
+        ends in, instead of L sequential ``step`` calls (the reference's
+        prefill is likewise its parallel forward,
+        mamba_ssm/utils/generation.py). Returns ((batch, L, d_model), cache).
+        """
+        from segmamba_tpu.ops.causal_conv1d import causal_conv1d
+        from segmamba_tpu.ops.selective_scan import selective_scan
+
+        h = hidden_states.astype(self.dtype)
+        L = h.shape[1]
+        xz = jnp.einsum("bld,de->ble", h, self.in_proj.astype(self.dtype))
+        d_inner = self._d_inner
+        x, z = xz[..., :d_inner], xz[..., d_inner:]
+        xc = causal_conv1d(
+            x, self.conv1d_weight.astype(self.dtype),
+            None if self.conv1d_bias is None
+            else self.conv1d_bias.astype(self.dtype), activation="silu")
+        x_db = jnp.einsum("bld,de->ble", xc, self.x_proj.astype(xc.dtype))
+        dt_rank = self._dt_rank
+        dt = jnp.einsum("blr,rd->bld", x_db[..., :dt_rank],
+                        self.dt_proj.astype(xc.dtype))
+        B = x_db[..., dt_rank:dt_rank + self.d_state]
+        C = x_db[..., dt_rank + self.d_state:]
+        A = -jnp.exp(self.A_log.astype(jnp.float32))
+        y, last = selective_scan(
+            xc, dt, A, B, C, D=self.D.astype(jnp.float32), z=z,
+            delta_bias=self.dt_proj_bias.astype(jnp.float32),
+            delta_softplus=True, return_last_state=True,
+            impl=self.scan_impl)
+        out = jnp.einsum("bld,de->ble", y, self.out_proj.astype(y.dtype))
+        # conv cache = last d_conv RAW x tokens (what causal_conv1d_update
+        # rolls over), left-padded with zeros for short prompts
+        xf = x.astype(jnp.float32)
+        if L >= self.d_conv:
+            tail = xf[:, L - self.d_conv:, :]
+        else:
+            tail = jnp.pad(xf, ((0, 0), (self.d_conv - L, 0), (0, 0)))
+        return out, {"conv": tail, "ssm": last.astype(jnp.float32)}
+
     def step(self, hidden_state, cache):
         """One decode token: (batch, d_model), cache -> (out, new_cache).
         Mirrors Mamba.step (mamba_simple.py:356-401)."""
@@ -159,6 +199,11 @@ class Block(nn.Module):
         out, cache = self.mixer.step(normed, cache)
         return out, residual, cache
 
+    def forward_with_cache(self, hidden_states, residual=None):
+        normed, residual = self._addnorm(hidden_states, residual)
+        out, cache = self.mixer.forward_with_cache(normed)
+        return out, residual, cache
+
     def init_cache(self, batch):
         return self.mixer.init_cache(batch)
 
@@ -212,6 +257,16 @@ class MixerModel(nn.Module):
             new_caches.append(cache)
         return self._final_norm(h, residual), new_caches
 
+    def prefill(self, input_ids):
+        """Parallel-scan prefill: (batch, L) -> (normed (batch, L, d), caches)."""
+        h = self.embedding[input_ids].astype(self.dtype)
+        residual = None
+        caches = []
+        for blk in self.blocks:
+            h, residual, cache = blk.forward_with_cache(h, residual)
+            caches.append(cache)
+        return self._final_norm(h, residual), caches
+
     def init_cache(self, batch):
         return [blk.init_cache(batch) for blk in self.blocks]
 
@@ -246,22 +301,19 @@ class MambaLMHeadModel(nn.Module):
         return logits, caches
 
     def generate(self, input_ids, max_new_tokens, temperature=0.0, key=None):
-        """Prefill then decode, both as ``lax.scan`` loops (one compiled
-        decode step reused for every token — the reference achieves the same
+        """Parallel-scan prefill (ONE forward regardless of prompt length,
+        like the reference's parallel forward before decoding,
+        mamba_ssm/utils/generation.py) + ``lax.scan`` decode loop (one
+        compiled step reused per token — the reference achieves the same
         with CUDA graphs, benchmark_generation_mamba_simple.py:56-60).
         temperature 0 = greedy."""
         batch, prompt_len = input_ids.shape
-        caches = self.backbone.init_cache(batch)
         if key is None:
             key = jax.random.key(0)
 
-        def prefill_step(caches, tok):
-            logits, caches = self._logits_step(tok, caches)
-            return caches, logits
-
-        caches, all_logits = jax.lax.scan(
-            prefill_step, caches, jnp.swapaxes(input_ids, 0, 1))
-        logits = all_logits[-1]
+        h, caches = self.backbone.prefill(input_ids)
+        logits = jnp.einsum("bd,vd->bv", h[:, -1].astype(jnp.float32),
+                            self.backbone.embedding.astype(jnp.float32))
 
         def decode_step(carry, _):
             logits, caches, key = carry

@@ -76,6 +76,49 @@ def test_mamba_uni_step_matches_parallel():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_prefill_cache_matches_sequential_steps():
+    """forward_with_cache (parallel prefill) must land in exactly the state
+    that token-by-token stepping reaches, so decode can continue from it."""
+    rng = np.random.default_rng(5)
+    m = MambaUni(d_model=8, d_state=4, scan_impl="ref")
+    x = jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+
+    out_par, cache_par = m.apply(params, x,
+                                 method=MambaUni.forward_with_cache)
+    full = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_par), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+    cache = m.apply(params, 2, method=MambaUni.init_cache)
+    for t in range(6):
+        _, cache = m.apply(params, x[:, t], cache, method=MambaUni.step)
+    np.testing.assert_allclose(np.asarray(cache_par["conv"]),
+                               np.asarray(cache["conv"]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache_par["ssm"]),
+                               np.asarray(cache["ssm"]), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_prefill_cache_short_prompt():
+    """Prompts shorter than d_conv need left-zero-padded conv state."""
+    rng = np.random.default_rng(6)
+    m = MambaUni(d_model=8, d_state=4, d_conv=4, scan_impl="ref")
+    x = jnp.asarray(rng.standard_normal((1, 2, 8)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    _, cache_par = m.apply(params, x, method=MambaUni.forward_with_cache)
+    cache = m.apply(params, 1, method=MambaUni.init_cache)
+    for t in range(2):
+        _, cache = m.apply(params, x[:, t], cache, method=MambaUni.step)
+    np.testing.assert_allclose(np.asarray(cache_par["conv"]),
+                               np.asarray(cache["conv"]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache_par["ssm"]),
+                               np.asarray(cache["ssm"]), rtol=1e-3,
+                               atol=1e-4)
+
+
 def test_lm_forward_and_generate():
     model = MambaLMHeadModel(vocab_size=50, d_model=16, n_layer=2,
                              rms_norm=True, scan_impl="ref")
