@@ -83,12 +83,35 @@ def _scatter_group(out, cnt, logits, starts, wmask, importance,
     return out, cnt
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("sw_batch_size",))
+def _scatter_group_donated(out, cnt, logits, s, m, imp, sw_batch_size):
+    """Weighted scatter of a window group into DONATED accumulators —
+    in-place updates instead of a copy-on-write of the full volume per
+    group."""
+    rz, ry, rx = logits.shape[1:4]
+    num_classes = logits.shape[-1]
+    w = imp.astype(jnp.float32)[None, ..., None] * m[:, None, None, None, None]
+    contrib = logits * w
+    for i in range(sw_batch_size):
+        idx = (s[i, 0], s[i, 1], s[i, 2], 0)
+        cur = lax.dynamic_slice(out, idx, (rz, ry, rx, num_classes))
+        out = lax.dynamic_update_slice(out, cur + contrib[i], idx)
+        curc = lax.dynamic_slice(cnt, idx, (rz, ry, rx, 1))
+        cnt = lax.dynamic_update_slice(cnt, curc + w[i], idx)
+    return out, cnt
+
+
 def _sliding_window_hostloop(volume, starts, wmask, importance, predictor,
                              roi_size, sw_batch_size, num_classes):
     """Python loop over window groups with three small device programs
-    (gather / predictor / scatter). Keeps each compile payload bounded —
-    needed where jit programs travel a size-limited remote-compile hop —
-    and reuses one executable per shape across all groups and cases."""
+    (gather / model forward / donated-accumulator scatter). The split is
+    forced where jit programs travel a size-limited remote-compile hop:
+    the model program alone sits near the relay's payload limit, so even
+    welding the (tiny) gather onto it gets an HTTP 413. Donating the
+    accumulators into the scatter keeps the full-volume buffers in place
+    instead of copy-on-write per group; one executable per shape is
+    reused across all groups and cases."""
     Z, Y, X, _ = volume.shape
     out = jnp.zeros((Z, Y, X, num_classes), jnp.float32)
     cnt = jnp.zeros((Z, Y, X, 1), jnp.float32)
@@ -96,9 +119,10 @@ def _sliding_window_hostloop(volume, starts, wmask, importance, predictor,
     for g in range(starts.shape[0]):
         s = jnp.asarray(starts[g])
         wins = _gather_group(volume, s, roi_size)
-        logits = predictor(wins)
-        out, cnt = _scatter_group(out, cnt, logits, s,
-                                  jnp.asarray(wmask[g]), imp, sw_batch_size)
+        logits = predictor(wins).astype(jnp.float32)
+        out, cnt = _scatter_group_donated(out, cnt, logits, s,
+                                          jnp.asarray(wmask[g]), imp,
+                                          sw_batch_size)
     return out / jnp.maximum(cnt, 1e-8)
 
 
