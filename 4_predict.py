@@ -59,15 +59,21 @@ def main():
                      num_slices_list=tuple(args.num_slices), dtype=dtype)
 
     path = args.checkpoint
-    if not os.path.basename(path).split("_")[-1].replace(".", "").isdigit():
-        found = ckpt.find_checkpoint(path, "best_model")
-        if found is None:
-            raise SystemExit(f"no checkpoint found under {path}")
-        path = found
-    print(f"loading checkpoint: {path}")
-    sample = jnp.zeros((1, 64, 64, 64, 4), jnp.float32)
-    params_template = jax.eval_shape(model.init, jax.random.key(0), sample)
-    params = ckpt.restore_params(path)
+    if path.endswith((".pt", ".pth")):
+        # reference torch checkpoint (e.g. the published
+        # final_model_0.9038.pt, reference 4_predict.py:51) — convert on
+        # the fly so reference users can bring their trained weights
+        from segmamba_tpu.utils.torch_convert import load_torch_checkpoint
+        print(f"converting torch checkpoint: {path}")
+        params = load_torch_checkpoint(path, depths=tuple(args.depths))
+    else:
+        if not os.path.basename(path).split("_")[-1].replace(".", "").isdigit():
+            found = ckpt.find_checkpoint(path, "best_model")
+            if found is None:
+                raise SystemExit(f"no checkpoint found under {path}")
+            path = found
+        print(f"loading checkpoint: {path}")
+        params = ckpt.restore_params(path)
 
     fwd = jax.jit(model.apply)
 
