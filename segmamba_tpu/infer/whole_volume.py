@@ -12,6 +12,14 @@ model_segmamba/segmamba.py:154).
 The checkpoint is shape-agnostic: ``num_slices_list`` only permutes the scan
 order and carries no parameters, so sliding-window and whole-volume modes
 share weights.
+
+Measured at the real BraTS shape (155x240x240 -> padded 160x240x240,
+1.15M stage-0 tokens) on a single v5e 16GB chip: 6.80 s/case single shot,
+bf16, no remat needed (benchmarks/bench_whole_volume.py). The sliding
+window is still faster per case on this chip (the padded full volume is
+~2.4x the voxels of the windows actually needed and the giant scans are
+VPU-bound); the single-shot mode's value is zero window-blending artifacts
+and a global receptive field at native resolution.
 """
 
 from __future__ import annotations
