@@ -112,6 +112,32 @@ def _hs_rev(m, v, T, axis):
     return m, v
 
 
+def _hs_fwd_b(a, b, T, axis):
+    """b-only Hillis-Steele prefix combine: callers that SEED the incoming
+    carry into ``b`` (b[0] += a[0]*carry) get the full state sequence from
+    the b lane alone, so the final cumprod pass and the aa*carry fixup are
+    skipped — ~2 of the 14 full-array passes at T=128."""
+    k = 1
+    while k < T:
+        b = a * _shift_down_ax(b, k, 0.0, axis) + b
+        if 2 * k < T:
+            a = a * _shift_down_ax(a, k, 1.0, axis)
+        k *= 2
+    return b
+
+
+def _hs_rev_v(m, v, T, axis):
+    """v-only suffix combine (adjoint scan with the tail carry pre-seeded
+    into v[T-1]); skips the final suffix-product pass."""
+    k = 1
+    while k < T:
+        v = v + m * _shift_up_ax(v, k, 0.0, axis)
+        if 2 * k < T:
+            m = m * _shift_up_ax(m, k, 1.0, axis)
+        k *= 2
+    return v
+
+
 def _pair_scan_fwd(a, b, T):
     """Inclusive prefix scan of x[t] = a[t]·x[t-1] + b[t] (zero init) on
     (N, T, Dblk) arrays. Returns (cumprod_a, x).
@@ -149,8 +175,9 @@ def _fwd_kernel(u_ref, d_ref, At_ref, Bt_ref, Ct_ref, y_ref, st_ref, carry_ref):
 
     a = jnp.exp(delta[None] * At[:, None, :])        # (N, T, Dblk)
     b = (delta * u)[None] * Bt[:, :, None]           # (N, T, Dblk)
-    aa, bb = _pair_scan_fwd(a, b, T)
-    x = bb + aa * carry_ref[...][:, None, :]         # carry: (N, Dblk)
+    carry = carry_ref[...][:, None, :]               # carry: (N, Dblk)
+    b = jnp.concatenate([b[:, 0:1] + a[:, 0:1] * carry, b[:, 1:]], axis=1)
+    x = _hs_fwd_b(a, b, T, axis=1)
     y = jnp.sum(Ct[:, :, None] * x, axis=0)          # (T, Dblk)
 
     y_ref[0] = y.astype(y_ref.dtype)
@@ -187,10 +214,10 @@ def _bwd_kernel(u_ref, d_ref, At_ref, Bt_ref, Ct_ref, dy_ref, dlast_ref,
     a = jnp.exp(delta[None] * At[:, None, :])
     du_ = delta * u
     b = du_[None] * Bt[:, :, None]
-    aa, bb = _pair_scan_fwd(a, b, T)
     entry = ent_ref[0, 0].astype(jnp.float32)[:, None, :]   # (N, 1, Dblk)
     entry = jnp.where(c == nc - 1, jnp.zeros_like(entry), entry)
-    x = bb + aa * entry
+    bs = jnp.concatenate([b[:, 0:1] + a[:, 0:1] * entry, b[:, 1:]], axis=1)
+    x = _hs_fwd_b(a, bs, T, axis=1)
     x_prev = jnp.concatenate([entry, x[:, 0:T - 1]], axis=1)
 
     # adjoint recurrence g[t] = dx[t] + a[t+1]·g[t+1], tail carry at t = T-1
@@ -199,7 +226,7 @@ def _bwd_kernel(u_ref, d_ref, At_ref, Bt_ref, Ct_ref, dy_ref, dlast_ref,
     tail = jnp.concatenate(
         [jnp.zeros(dx.shape[:1] + (T - 1,) + dx.shape[2:], jnp.float32),
          gcarry_ref[...][:, None, :]], axis=1)
-    g = _pair_scan_rev(m, dx + tail, T)
+    g = _hs_rev_v(m, dx + tail, T, axis=1)
     Nn, Dblk = gcarry_ref.shape
     gcarry_ref[...] = (a[:, 0:1] * g[:, 0:1]).reshape(Nn, Dblk)
 

@@ -41,11 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 from segmamba_tpu.ops.scan_pallas import (
     DEF_CHUNK,
     DEF_DBLOCK,
-    _hs_fwd,
+    _hs_fwd_b,
     _hs_rev,
+    _hs_rev_v,
     _interpret,
-    _pair_scan_fwd,
-    _pair_scan_rev,
     _pick_dblock,
     _round_up,
     _shift_down,
@@ -87,12 +86,15 @@ def _dir_fwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
     # from the scan-order predecessor chunk either way; only the in-chunk
     # scan direction and which edge exits differ.
     if reverse:
-        m, v = _hs_rev(a, bmat, T, axis=1)
-        x = v + m * carry
+        bs = jnp.concatenate(
+            [bmat[:, :T - 1], bmat[:, T - 1:] + a[:, T - 1:] * carry],
+            axis=1)
+        x = _hs_rev_v(a, bs, T, axis=1)
         ncarry = x[:, 0:1]
     else:
-        aa, bb = _pair_scan_fwd(a, bmat, T)
-        x = bb + aa * carry
+        bs = jnp.concatenate(
+            [bmat[:, 0:1] + a[:, 0:1] * carry, bmat[:, 1:]], axis=1)
+        x = _hs_fwd_b(a, bs, T, axis=1)
         ncarry = x[:, T - 1:T]
     y = jnp.sum(Ct[:, :, None] * x, axis=0)
     ytot = y + Dv_ref[0, 0].astype(jnp.float32) * u
@@ -138,12 +140,15 @@ def _dir_bwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
     # reverse instantiation the entry state feeds the RIGHT edge (suffix
     # recurrence) and the recurrence multiplies by the right neighbour
     if reverse:
-        m_, v_ = _hs_rev(a, bmat, T, axis=1)
-        x = v_ + m_ * entry
+        bs = jnp.concatenate(
+            [bmat[:, :T - 1], bmat[:, T - 1:] + a[:, T - 1:] * entry],
+            axis=1)
+        x = _hs_rev_v(a, bs, T, axis=1)
         x_prev = jnp.concatenate([x[:, 1:], entry], axis=1)
     else:
-        aa, bb = _pair_scan_fwd(a, bmat, T)
-        x = bb + aa * entry
+        bs = jnp.concatenate(
+            [bmat[:, 0:1] + a[:, 0:1] * entry, bmat[:, 1:]], axis=1)
+        x = _hs_fwd_b(a, bs, T, axis=1)
         x_prev = jnp.concatenate([entry, x[:, 0:T - 1]], axis=1)
     y = jnp.sum(Ct[:, :, None] * x, axis=0)
     ytot = y + Dv * u
@@ -165,13 +170,13 @@ def _dir_bwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
     # the transpose of its forward recurrence
     if reverse:
         m = _shift_down(a, 1, 1.0)
-        g = _hs_fwd(m, dx + jnp.concatenate([gcarry, zpad], axis=1), T,
-                    axis=1)[1]
+        g = _hs_fwd_b(m, dx + jnp.concatenate([gcarry, zpad], axis=1), T,
+                      axis=1)
         ngcarry = a[:, T - 1:T] * g[:, T - 1:T]
     else:
         m = _shift_up(a, 1, 1.0)
-        g = _pair_scan_rev(m, dx + jnp.concatenate([zpad, gcarry], axis=1),
-                           T)
+        g = _hs_rev_v(m, dx + jnp.concatenate([zpad, gcarry], axis=1), T,
+                      axis=1)
         ngcarry = a[:, 0:1] * g[:, 0:1]
     gcarry_ref[...] = ngcarry.reshape(N, Dblk)
 
@@ -390,8 +395,10 @@ def _slice_fwd_kernel(S, Tp, u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref,
 
     a = jnp.exp(delta[None] * At[:, None, :])
     bmat = (delta * u)[None] * Bt[:, :, None]
-    aa, bb = _pair_scan_fwd(a, bmat, T)
-    x = bb + aa * carry_ref[...][:, None, :]
+    carry = carry_ref[...][:, None, :]
+    bmat = jnp.concatenate(
+        [bmat[:, 0:1] + a[:, 0:1] * carry, bmat[:, 1:]], axis=1)
+    x = _hs_fwd_b(a, bmat, T, axis=1)
     y = jnp.sum(Ct[:, :, None] * x, axis=0)
     ytot = y + Dv_ref[0, 0].astype(jnp.float32) * u
     out = ytot * (z * jax.nn.sigmoid(z))
@@ -430,10 +437,11 @@ def _slice_bwd_kernel(S, Tp, u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref,
     a = jnp.exp(delta[None] * At[:, None, :])
     du_ = delta * u
     bmat = du_[None] * Bt[:, :, None]
-    aa, bb = _pair_scan_fwd(a, bmat, T)
     entry = ent_ref[0, 0].astype(jnp.float32)[:, None, :]
     entry = jnp.where(c == nc - 1, jnp.zeros_like(entry), entry)
-    x = bb + aa * entry
+    bs = jnp.concatenate(
+        [bmat[:, 0:1] + a[:, 0:1] * entry, bmat[:, 1:]], axis=1)
+    x = _hs_fwd_b(a, bs, T, axis=1)
     x_prev = jnp.concatenate([entry, x[:, 0:T - 1]], axis=1)
     y = jnp.sum(Ct[:, :, None] * x, axis=0)
     ytot = y + Dv * u
@@ -450,7 +458,7 @@ def _slice_bwd_kernel(S, Tp, u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref,
     tail = jnp.concatenate(
         [jnp.zeros(dx.shape[:1] + (T - 1,) + dx.shape[2:], jnp.float32),
          gcarry_ref[...][:, None, :]], axis=1)
-    g = _pair_scan_rev(m, dx + tail, T)
+    g = _hs_rev_v(m, dx + tail, T, axis=1)
     Nc, Dblk = gcarry_ref.shape
     gcarry_ref[...] = (a[:, 0:1] * g[:, 0:1]).reshape(Nc, Dblk)
 

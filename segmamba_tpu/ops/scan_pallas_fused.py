@@ -30,9 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 from segmamba_tpu.ops.scan_pallas import (
     DEF_CHUNK,
     DEF_DBLOCK,
+    _hs_fwd_b,
+    _hs_rev_v,
     _interpret,
-    _pair_scan_fwd,
-    _pair_scan_rev,
     _pick_dblock,
     _round_up,
     _shift_up,
@@ -58,8 +58,9 @@ def _fwd_kernel(u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref, bias_ref,
 
     a = jnp.exp(delta[None] * At[:, None, :])           # (N, T, Dblk)
     b = (delta * u)[None] * Bt[:, :, None]
-    aa, bb = _pair_scan_fwd(a, b, T)
-    x = bb + aa * carry_ref[...][:, None, :]
+    carry = carry_ref[...][:, None, :]
+    b = jnp.concatenate([b[:, 0:1] + a[:, 0:1] * carry, b[:, 1:]], axis=1)
+    x = _hs_fwd_b(a, b, T, axis=1)
     y = jnp.sum(Ct[:, :, None] * x, axis=0)             # (T, Dblk)
     ytot = y + Dv_ref[0, 0].astype(jnp.float32) * u
     out_ref[0] = (ytot * (z * jax.nn.sigmoid(z))).astype(out_ref.dtype)
@@ -96,10 +97,10 @@ def _bwd_kernel(u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref, bias_ref,
     a = jnp.exp(delta[None] * At[:, None, :])
     du_ = delta * u
     b = du_[None] * Bt[:, :, None]
-    aa, bb = _pair_scan_fwd(a, b, T)
     entry = ent_ref[0, 0].astype(jnp.float32)[:, None, :]
     entry = jnp.where(c == nc - 1, jnp.zeros_like(entry), entry)
-    x = bb + aa * entry
+    bs = jnp.concatenate([b[:, 0:1] + a[:, 0:1] * entry, b[:, 1:]], axis=1)
+    x = _hs_fwd_b(a, bs, T, axis=1)
     x_prev = jnp.concatenate([entry, x[:, 0:T - 1]], axis=1)
     y = jnp.sum(Ct[:, :, None] * x, axis=0)
     ytot = y + Dv * u
@@ -118,7 +119,7 @@ def _bwd_kernel(u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref, bias_ref,
     tail = jnp.concatenate(
         [jnp.zeros(dx.shape[:1] + (T - 1,) + dx.shape[2:], jnp.float32),
          gcarry_ref[...][:, None, :]], axis=1)
-    g = _pair_scan_rev(m, dx + tail, T)
+    g = _hs_rev_v(m, dx + tail, T, axis=1)
     N, Dblk = gcarry_ref.shape
     gcarry_ref[...] = (a[:, 0:1] * g[:, 0:1]).reshape(N, Dblk)
 
