@@ -223,10 +223,20 @@ def sample_foreground_locations(seg, classes: Sequence, seed: int = 1234,
 
 def run_case_npy(data, seg, properties, out_spacing,
                  normalize_fn=zscore_normalize, all_labels=(1, 2, 3),
-                 sample_fg: bool = True):
+                 sample_fg: bool = True, do_crop: bool = True,
+                 do_resample: bool = True):
     """The core chain: crop -> normalize -> resample, recording the inverse
     metadata (default_preprocessor.py:154-227). Property keys are identical
-    to the reference's."""
+    to the reference's.
+
+    ``do_crop=False`` / ``do_resample=False`` reproduce the reference's
+    noresample_nocrop preprocessor variant
+    (preprocessor_multiinput_mrinorm_noresample_nocrop.py) — the inverse
+    metadata then records identity transforms so prediction's un-resample /
+    un-crop steps remain valid. ``all_labels`` entries may be label TUPLES
+    for region-based oversampling (preprocessor_multiinput_and_region.py
+    semantics — class_locations keyed by region).
+    """
     data = np.copy(np.asarray(data, np.float32))
     original_spacing = list(properties["spacing"])          # (x, y, z)
     original_spacing_trans = original_spacing[::-1]         # (z, y, x)
@@ -234,23 +244,29 @@ def run_case_npy(data, seg, properties, out_spacing,
     properties["target_spacing_trans"] = list(out_spacing)
 
     properties["shape_before_cropping"] = data.shape[1:]
-    data, seg, bbox = crop_to_nonzero(data, seg)
+    if do_crop:
+        data, seg, bbox = crop_to_nonzero(data, seg)
+    else:
+        bbox = [[0, s] for s in data.shape[1:]]
     properties["bbox_used_for_cropping"] = bbox
     properties["shape_after_cropping_before_resample"] = data.shape[1:]
 
-    new_shape = compute_new_shape(data.shape[1:], original_spacing_trans,
-                                  out_spacing)
+    new_shape = (compute_new_shape(data.shape[1:], original_spacing_trans,
+                                   out_spacing)
+                 if do_resample else list(data.shape[1:]))
     seg_for_norm = seg if seg is not None else np.zeros_like(data)
     for c in range(data.shape[0]):
         data[c] = normalize_fn(data[c], seg_for_norm[0])
 
-    data = resample_to_shape(data, new_shape, original_spacing_trans,
-                             order=3, order_z=0)
+    if do_resample:
+        data = resample_to_shape(data, new_shape, original_spacing_trans,
+                                 order=3, order_z=0)
     properties["shape_after_resample"] = new_shape
 
     if seg is not None:
-        seg = resample_to_shape(seg, new_shape, original_spacing_trans,
-                                is_seg=True, order=1, order_z=0)
+        if do_resample:
+            seg = resample_to_shape(seg, new_shape, original_spacing_trans,
+                                    is_seg=True, order=1, order_z=0)
         if sample_fg:
             properties["class_locations"] = sample_foreground_locations(
                 seg, list(all_labels))
@@ -272,7 +288,8 @@ class MultiModalityPreprocessor:
     z-score, parallel over cases."""
 
     def __init__(self, base_dir, image_dir, data_filenames, seg_filename="",
-                 reader=None, normalize_fn=None):
+                 reader=None, normalize_fn=None, do_crop=True,
+                 do_resample=True):
         self.base_dir = base_dir
         self.image_dir = image_dir
         self.data_filenames = list(data_filenames)
@@ -280,6 +297,10 @@ class MultiModalityPreprocessor:
         # must be module-level/partial callables: workers pickle this (spawn)
         self.reader = reader or _read_with_spacing
         self.normalize_fn = normalize_fn or zscore_normalize
+        # variant switches covering the reference's CT / region /
+        # noresample_nocrop preprocessor files (see run_case_npy docstring)
+        self.do_crop = do_crop
+        self.do_resample = do_resample
 
     def get_iterable_list(self):
         return sorted(os.listdir(os.path.join(self.base_dir, self.image_dir)))
@@ -306,7 +327,9 @@ class MultiModalityPreprocessor:
         data, seg, properties = self.read_data(case_name)
         data, seg = run_case_npy(data, seg, properties, self.out_spacing,
                                  normalize_fn=self.normalize_fn,
-                                 all_labels=self.all_labels)
+                                 all_labels=self.all_labels,
+                                 do_crop=self.do_crop,
+                                 do_resample=self.do_resample)
         return data, seg, properties
 
     def run_case_save(self, case_name):

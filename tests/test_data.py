@@ -261,3 +261,34 @@ def test_nifti_big_endian(tmp_path):
     open(pb, "wb").write(bytes(raw))
     back = read_nifti(pb)
     np.testing.assert_allclose(back, vol, rtol=1e-6)
+
+
+def test_run_case_npy_nocrop_noresample_and_regions():
+    """Variant switches (noresample_nocrop preprocessor) keep identity
+    inverse metadata; tuple labels produce region-keyed class_locations
+    (multiinput_and_region semantics)."""
+    from segmamba_tpu.data.preprocessing import run_case_npy
+
+    rng = np.random.default_rng(0)
+    data = np.zeros((1, 12, 14, 16), np.float32)
+    data[0, 2:10, 2:12, 2:14] = rng.standard_normal((8, 10, 12)) + 5
+    seg = np.zeros((1, 12, 14, 16), np.float32)
+    seg[0, 4:7, 4:7, 4:7] = 1
+    seg[0, 5:7, 5:7, 5:7] = 2
+    props = {"spacing": (2.0, 2.0, 2.0)}
+
+    out, oseg = run_case_npy(data.copy(), seg.copy(), props, [1.0, 1.0, 1.0],
+                             all_labels=[1, 2, (1, 2)],
+                             do_crop=False, do_resample=False)
+    assert out.shape == data.shape           # no crop, no resample
+    assert props["bbox_used_for_cropping"] == [[0, 12], [0, 14], [0, 16]]
+    assert props["shape_after_resample"] == [12, 14, 16]
+    locs = props["class_locations"]
+    assert set(locs.keys()) == {1, 2, (1, 2)}
+    assert len(locs[(1, 2)]) >= len(locs[2])
+
+    # default path still crops and resamples
+    props2 = {"spacing": (2.0, 2.0, 2.0)}
+    out2, _ = run_case_npy(data.copy(), seg.copy(), props2, [1.0, 1.0, 1.0],
+                           all_labels=[1, 2])
+    assert out2.shape[1] > data.shape[1]     # 2mm -> 1mm upsample
