@@ -54,7 +54,7 @@ def main():
 
     float(fetch(inferer(case, predictor, num_classes=4)))  # compile
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(fetch(inferer(case, predictor, num_classes=4)))
         times.append(time.perf_counter() - t0)

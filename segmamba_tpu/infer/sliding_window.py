@@ -66,42 +66,6 @@ def _gather_group(volume, starts, roi_size):
     return jax.vmap(gather)(starts)
 
 
-@functools.partial(jax.jit, static_argnames=("sw_batch_size",))
-def _scatter_group(out, cnt, logits, starts, wmask, importance,
-                   sw_batch_size):
-    rz, ry, rx = logits.shape[1:4]
-    num_classes = logits.shape[-1]
-    imp = importance.astype(jnp.float32)[..., None]
-    w = imp[None] * wmask[:, None, None, None, None]
-    contrib = logits.astype(jnp.float32) * w
-    for i in range(sw_batch_size):
-        idx = (starts[i, 0], starts[i, 1], starts[i, 2], 0)
-        cur = lax.dynamic_slice(out, idx, (rz, ry, rx, num_classes))
-        out = lax.dynamic_update_slice(out, cur + contrib[i], idx)
-        curc = lax.dynamic_slice(cnt, idx, (rz, ry, rx, 1))
-        cnt = lax.dynamic_update_slice(cnt, curc + w[i], idx)
-    return out, cnt
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("sw_batch_size",))
-def _scatter_group_donated(out, cnt, logits, s, m, imp, sw_batch_size):
-    """Weighted scatter of a window group into DONATED accumulators —
-    in-place updates instead of a copy-on-write of the full volume per
-    group."""
-    rz, ry, rx = logits.shape[1:4]
-    num_classes = logits.shape[-1]
-    w = imp.astype(jnp.float32)[None, ..., None] * m[:, None, None, None, None]
-    contrib = logits * w
-    for i in range(sw_batch_size):
-        idx = (s[i, 0], s[i, 1], s[i, 2], 0)
-        cur = lax.dynamic_slice(out, idx, (rz, ry, rx, num_classes))
-        out = lax.dynamic_update_slice(out, cur + contrib[i], idx)
-        curc = lax.dynamic_slice(cnt, idx, (rz, ry, rx, 1))
-        cnt = lax.dynamic_update_slice(cnt, curc + w[i], idx)
-    return out, cnt
-
-
 @functools.partial(jax.jit, static_argnames=("vol_shape", "sw_batch_size"))
 def _scatter_all(logits_all, starts, wmask, importance, vol_shape,
                  sw_batch_size):
