@@ -91,12 +91,16 @@ class Conv3d(nn.Module):
             # 2.7 ms on a 128^3 x 48ch volume).
             y = jnp.einsum("...c,ce->...e", x, kern[0, 0, 0])
         elif (ks == (3, 3, 3) and strides == (1, 1, 1) and self.padding == 1
-                and d * h * w >= 128 ** 3 and cin <= 96):
+                and ((d * h * w >= 128 ** 3 and cin <= 96)
+                     or (d * h * w >= 64 ** 3 and cin >= 96)
+                     or (d * h * w >= 32 ** 3 and cin >= 192))):
             # k3s1 conv as a conv2d with depth folded into batch and the
             # depth taps folded into input channels: XLA's TPU conv3d
             # emitter runs the model's low-channel full-resolution convs at
             # ~27 Tflop/s while the equivalent conv2d runs at ~66 (measured
-            # 9.5 ms vs 4.0 ms for 128^3 x 48ch).
+            # 9.5 ms vs 4.0 ms for 128^3 x 48ch; also wins at 64^3 for
+            # cin>=96 — 1.6 vs 2.5 ms — and 32^3 for cin>=192; conv3d
+            # stays faster at 64^3/48ch and 32^3/96ch, both measured).
             xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
             xcat = jnp.concatenate([xp[:, kd:kd + d] for kd in range(3)],
                                    axis=-1)
