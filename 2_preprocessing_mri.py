@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--no-seg", action="store_true",
                     help="test data without segmentations")
     ap.add_argument("--plan-only", action="store_true")
+    ap.add_argument("--no-crop", action="store_true",
+                    help="skip crop-to-nonzero (noresample_nocrop variant)")
+    ap.add_argument("--no-resample", action="store_true",
+                    help="keep native spacing (noresample_nocrop variant)")
     args = ap.parse_args()
 
     from segmamba_tpu.data import MultiModalityPreprocessor
@@ -31,7 +35,8 @@ def main():
     pp = MultiModalityPreprocessor(
         base_dir=args.base_dir, image_dir=args.image_dir,
         data_filenames=DATA_FILENAMES,
-        seg_filename="" if args.no_seg else SEG_FILENAME)
+        seg_filename="" if args.no_seg else SEG_FILENAME,
+        do_crop=not args.no_crop, do_resample=not args.no_resample)
 
     plan = pp.run_plan()
     print(json.dumps(plan, indent=2))
