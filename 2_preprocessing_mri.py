@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--num-processes", type=int, default=8)
     ap.add_argument("--no-seg", action="store_true",
                     help="test data without segmentations")
+    ap.add_argument("--data-filenames", nargs="+", default=DATA_FILENAMES,
+                    help="per-case modality filenames (default: BraTS 4)")
     ap.add_argument("--plan-only", action="store_true")
     ap.add_argument("--no-crop", action="store_true",
                     help="skip crop-to-nonzero (noresample_nocrop variant)")
@@ -34,7 +36,7 @@ def main():
 
     pp = MultiModalityPreprocessor(
         base_dir=args.base_dir, image_dir=args.image_dir,
-        data_filenames=DATA_FILENAMES,
+        data_filenames=list(args.data_filenames),
         seg_filename="" if args.no_seg else SEG_FILENAME,
         do_crop=not args.no_crop, do_resample=not args.no_resample)
 

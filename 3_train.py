@@ -21,6 +21,12 @@ def main():
     ap.add_argument("--steps-per-epoch", type=int, default=250)
     ap.add_argument("--val-number", type=int, default=100)
     ap.add_argument("--patch", type=int, nargs=3, default=[128, 128, 128])
+    ap.add_argument("--plan", default=None, metavar="PLAN_JSON",
+                    help="dataset plan from 2_preprocessing_mri.py "
+                         "(data_analysis_result.json); when set, its "
+                         "heuristic patch_size overrides --patch (closing "
+                         "the plan->train loop the reference leaves open, "
+                         "default_preprocessor.py:400-409)")
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--loss", default="ce", choices=["ce", "dice_ce"])
     ap.add_argument("--augmentation", default="default",
@@ -45,6 +51,9 @@ def main():
     ap.add_argument("--num-slices", type=int, nargs=4,
                     default=[64, 32, 16, 8])
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--print-config", action="store_true",
+                    help="print the resolved run config (after --plan "
+                         "overrides) and exit without training")
     ap.add_argument("--split", type=float, nargs=3, default=[0.7, 0.1, 0.2],
                     help="train/val/test fractions (seed-42 shuffle)")
     args = ap.parse_args()
@@ -62,6 +71,27 @@ def main():
     from segmamba_tpu.train import Trainer
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.plan:
+        from segmamba_tpu.data.planning import load_plan
+        plan = load_plan(args.plan)
+        # the scan-kernel path wants multiples of the deepest stride (16);
+        # round the plan's heuristic patch down to the model-legal grid
+        patch = [max(32, (int(p) // 32) * 32) for p in plan["patch_size"]]
+        print(f"plan patch_size {plan['patch_size']} -> model patch {patch}")
+        args.patch = patch
+        # nslices tracks the stage-0..3 depth-axis extents (reference ties
+        # num_slices_list to the 128^3 recipe; scale it with the patch)
+        args.num_slices = [max(1, patch[0] // (2 ** (i + 1)))
+                           for i in range(4)]
+
+    if args.print_config:
+        import json
+        print(json.dumps({"patch": list(args.patch),
+                          "num_slices": list(args.num_slices),
+                          "lr": args.lr, "loss": args.loss,
+                          "dtype": args.dtype}))
+        return
 
     # BraTS dice metric on TC/WT/ET composites (reference convert_labels,
     # 3_train.py:68-72)

@@ -358,26 +358,44 @@ class MultiModalityPreprocessor:
     # -- dataset fingerprint ("plan", default_preprocessor.py:347-410) ----
 
     def run_plan(self, sample_cases: int | None = 20):
+        """Dataset fingerprint + nnU-Net experiment plan: per-case spacing /
+        post-crop shape / seeded foreground-intensity samples, then the full
+        heuristic chain (target spacing, patch size, pool/conv kernels,
+        percentile intensity statistics) via ``data.planning.build_plan``
+        (default_preprocessor.py:347-410)."""
+        from segmamba_tpu.data.planning import (build_plan,
+                                                collect_foreground_intensities)
+
         cases = self.get_iterable_list()
         if sample_cases:
             cases = cases[:sample_cases]
-        spacings, shapes, means, stds = [], [], [], []
+        spacings, shapes, fg_per_case, means, stds = [], [], [], [], []
         for case in cases:
             data, seg, props = self.read_data(case)
-            spacings.append(props["spacing"][::-1])
+            # the reference fingerprints the cropped shape (experiment_plan
+            # crops before measuring); keep that so patch-size heuristics
+            # see the trainable extent
+            if self.do_crop:
+                data, seg, _ = crop_to_nonzero(data, seg)
+            spacings.append(list(props["spacing"])[::-1])
             shapes.append(data.shape[1:])
             if seg is not None:
+                fg_per_case.append(
+                    collect_foreground_intensities(seg, data))
                 fg = data[:, seg[0] > 0]
                 if fg.size:
                     means.append(float(fg.mean()))
                     stds.append(float(fg.std()))
-        plan = {
-            "median_spacing": np.median(np.asarray(spacings), axis=0).tolist(),
-            "median_shape": np.median(np.asarray(shapes), axis=0).tolist(),
-            "foreground_mean": float(np.mean(means)) if means else None,
-            "foreground_std": float(np.mean(stds)) if stds else None,
-            "n_cases": len(cases),
-        }
+        if not fg_per_case:  # unlabeled data: plan from whole volumes
+            fg_per_case = [
+                [c.reshape(-1)[:: max(1, c.size // 10000)] for c in d]
+                for d in [self.read_data(c)[0] for c in cases[:2]]]
+        plan = build_plan(spacings, shapes, fg_per_case)
+        # legacy keys kept for round-1/2 consumers
+        plan["median_spacing"] = plan["fullres_spacing"]
+        plan["foreground_mean"] = float(np.mean(means)) if means else None
+        plan["foreground_std"] = float(np.mean(stds)) if stds else None
+        plan["n_cases"] = len(cases)
         return plan
 
 
