@@ -67,7 +67,13 @@ class MedicalDataset:
 def get_train_val_test_loader_from_train(data_dir, train_rate=0.7,
                                          val_rate=0.1, test_rate=0.2,
                                          seed=42):
-    """70/10/20 shuffled split, seed 42 (dataset.py:244-271)."""
+    """70/10/20 shuffled split, seed 42 (dataset.py:244-271).
+
+    Membership note: the reference seed-42-shuffles the *raw glob order*
+    (filesystem/readdir-dependent, dataset.py:247-255); this version sorts
+    before the same shuffle, so splits are reproducible across machines but
+    case-level membership can differ from a particular reference run.
+    """
     all_paths = sorted(glob.glob(f"{data_dir}/*.npz"))
     train_n = int(len(all_paths) * train_rate)
     val_n = int(len(all_paths) * val_rate)
@@ -79,16 +85,36 @@ def get_train_val_test_loader_from_train(data_dir, train_rate=0.7,
     return (MedicalDataset(train), MedicalDataset(val), MedicalDataset(test))
 
 
-def get_kfold_data(paths, k=5, seed=3):
-    """Deterministic k-fold split of case paths (dataset.py:128-165)."""
-    paths = sorted(paths)
-    rng = random.Random(seed)
-    rng.shuffle(paths)
-    folds = []
-    for i in range(k):
-        val = paths[i::k]
-        train = [p for p in paths if p not in val]
-        folds.append({"train": train, "val": val})
+def get_kfold_data(paths, k=5, shuffle=False, seed=None):
+    """K-fold split of case paths with sklearn ``KFold`` semantics, matching
+    the reference (dataset.py:127-140: ``KFold(n_splits=k, shuffle=False)``
+    over the glob list): contiguous folds, the first ``n % k`` folds one
+    element larger; ``shuffle=True`` permutes indices first (RandomState
+    ``seed``). Fold dicts carry the reference's ``train_data``/``val_data``
+    keys plus ``train``/``val`` aliases.
+
+    Membership note: the reference feeds raw ``glob.glob`` order (filesystem-
+    dependent); this framework's loaders glob *sorted* paths, so fold
+    membership is reproducible across machines but can differ from a given
+    reference run's readdir order.
+    """
+    paths = list(paths)
+    n = len(paths)
+    idx = np.arange(n)
+    if shuffle:
+        idx = np.random.RandomState(seed).permutation(n)
+    fold_sizes = np.full(k, n // k, dtype=int)
+    fold_sizes[: n % k] += 1
+    folds, start = [], 0
+    for size in fold_sizes:
+        # sklearn emits mask-ordered (ascending) indices per fold
+        val_idx = np.sort(idx[start:start + size])
+        train_idx = np.sort(np.concatenate([idx[:start], idx[start + size:]]))
+        train = [paths[i] for i in train_idx]
+        val = [paths[i] for i in val_idx]
+        folds.append({"train_data": train, "val_data": val,
+                      "train": train, "val": val})
+        start += size
     return folds
 
 

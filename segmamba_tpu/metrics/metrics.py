@@ -60,6 +60,17 @@ def _cm(test, reference, confusion_matrix=None):
     return confusion_matrix
 
 
+def _surface_defined(cm):
+    """Surface metrics are defined only when both masks are non-empty AND
+    non-full — the reference wrapper NaNs on any of the four degeneracies
+    (evaluation/metric.py:312-345: test_empty/test_full/reference_empty/
+    reference_full)."""
+    tp, fp, tn, fn = cm.get_matrix()
+    ref_nonempty, test_nonempty = tp + fn > 0, tp + fp > 0
+    ref_full, test_full = fp + tn == 0, fn + tn == 0
+    return ref_nonempty and test_nonempty and not ref_full and not test_full
+
+
 def dice(test=None, reference=None, confusion_matrix=None, nan_for_nonexisting=True):
     """2TP / (2TP + FP + FN)."""
     cm = _cm(test, reference, confusion_matrix)
@@ -155,8 +166,7 @@ def _surface_distances(result, reference, voxelspacing=None):
 def hausdorff_distance(test=None, reference=None, confusion_matrix=None,
                        nan_for_nonexisting=True, voxel_spacing=None, **kw):
     cm = _cm(test, reference, confusion_matrix)
-    ref_ok, test_ok = cm.get_existence()
-    if not (ref_ok and test_ok):
+    if not _surface_defined(cm):
         return float("nan") if nan_for_nonexisting else 0.0
     d1 = _surface_distances(cm.test, cm.reference, voxel_spacing)
     d2 = _surface_distances(cm.reference, cm.test, voxel_spacing)
@@ -166,19 +176,20 @@ def hausdorff_distance(test=None, reference=None, confusion_matrix=None,
 def hausdorff_distance_95(test=None, reference=None, confusion_matrix=None,
                           nan_for_nonexisting=True, voxel_spacing=None, **kw):
     cm = _cm(test, reference, confusion_matrix)
-    ref_ok, test_ok = cm.get_existence()
-    if not (ref_ok and test_ok):
+    if not _surface_defined(cm):
         return float("nan") if nan_for_nonexisting else 0.0
     d1 = _surface_distances(cm.test, cm.reference, voxel_spacing)
     d2 = _surface_distances(cm.reference, cm.test, voxel_spacing)
-    return float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
+    # medpy hd95: the 95th percentile of the POOLED distances (not the max
+    # of per-direction percentiles) — the oracle the reference calls
+    # (evaluation/metric.py:346, medpy.metric.binary.hd95)
+    return float(np.percentile(np.hstack([d1, d2]), 95))
 
 
 def avg_surface_distance(test=None, reference=None, confusion_matrix=None,
                          nan_for_nonexisting=True, voxel_spacing=None, **kw):
     cm = _cm(test, reference, confusion_matrix)
-    ref_ok, test_ok = cm.get_existence()
-    if not (ref_ok and test_ok):
+    if not _surface_defined(cm):
         return float("nan") if nan_for_nonexisting else 0.0
     return float(_surface_distances(cm.test, cm.reference,
                                     voxel_spacing).mean())
@@ -189,12 +200,14 @@ def avg_surface_distance_symmetric(test=None, reference=None,
                                    nan_for_nonexisting=True,
                                    voxel_spacing=None, **kw):
     cm = _cm(test, reference, confusion_matrix)
-    ref_ok, test_ok = cm.get_existence()
-    if not (ref_ok and test_ok):
+    if not _surface_defined(cm):
         return float("nan") if nan_for_nonexisting else 0.0
+    # medpy assd: unweighted mean of the two directional means (NOT the mean
+    # of the pooled distances — they differ when the surfaces have different
+    # voxel counts; evaluation/metric.py:383, medpy.metric.binary.assd)
     d1 = _surface_distances(cm.test, cm.reference, voxel_spacing)
     d2 = _surface_distances(cm.reference, cm.test, voxel_spacing)
-    return float(np.concatenate([d1, d2]).mean())
+    return float((d1.mean() + d2.mean()) / 2.0)
 
 
 ALL_METRICS = {

@@ -172,6 +172,28 @@ def test_split_factory(preprocessed_dir):
     assert len(train) == 1 and len(val) == 1 and len(test) == 1
 
 
+def test_kfold_matches_sklearn():
+    from sklearn.model_selection import KFold
+
+    from segmamba_tpu.data import get_kfold_data
+
+    paths = [f"case_{i:03d}.npz" for i in range(13)]
+    for k in (3, 5):
+        folds = get_kfold_data(paths, k)
+        ref = list(KFold(n_splits=k, shuffle=False).split(np.arange(13)))
+        assert len(folds) == k
+        for fold, (tr, va) in zip(folds, ref):
+            assert fold["train_data"] == [paths[i] for i in tr]
+            assert fold["val_data"] == [paths[i] for i in va]
+            assert fold["train"] == fold["train_data"]  # alias keys
+    # shuffle=True matches sklearn's seeded permutation split too
+    folds = get_kfold_data(paths, 4, shuffle=True, seed=7)
+    ref = list(KFold(n_splits=4, shuffle=True,
+                     random_state=7).split(np.arange(13)))
+    for fold, (tr, va) in zip(folds, ref):
+        assert fold["val_data"] == [paths[i] for i in va]
+
+
 def test_augment_chain(preprocessed_dir):
     rng = np.random.default_rng(3)
     data = rng.standard_normal((2, 2, 16, 16, 16)).astype(np.float32)
