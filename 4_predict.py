@@ -99,8 +99,10 @@ def main():
         args.data_dir, train_rate=args.split[0], val_rate=args.split[1],
         test_rate=args.split[2])
     print(f"test cases: {len(test_ds)}")
-    all_dices = []
-    for i in range(len(test_ds)):
+
+    def predict_case(i):
+        """Full per-case pipeline; runs on whichever local device
+        ``eval_map`` pinned this shard to."""
         item = test_ds[i]
         data = np.asarray(item["data"], np.float32)   # (C, Z, Y, X)
         props = item["properties"]
@@ -111,9 +113,9 @@ def main():
         raw = predictor.predict_raw_probability(np.asarray(logits), props)
         seg = np.argmax(raw, axis=0)
 
+        ds = None
         if "seg" in item:
             gt = np.asarray(item["seg"][0])
-            gt_resampled_shape = seg.shape  # seg is at pre-resample shape
             # quick dice at model resolution using argmax on composites
             pred_c = convert_labels_brats(seg)
             # ground truth is at post-resample res; resample gt-side instead
@@ -122,12 +124,19 @@ def main():
             gt_r = ndi.zoom(gt, zoom, order=0)
             gt_c = convert_labels_brats(gt_r)
             ds = [dice(pred_c[k], gt_c[k]) for k in range(3)]
-            all_dices.append(ds)
             print(f"{props['name']}: tc={ds[0]:.4f} wt={ds[1]:.4f} "
                   f"et={ds[2]:.4f}")
 
         full = predictor.predict_noncrop_probability(seg[None], props)
         predictor.save_to_nii(full, props, args.save_dir)
+        return ds
+
+    # shard cases over local devices (SequentialDistributedSampler
+    # semantics, reference trainer.py:213-266 + sampler.py:5-48); with one
+    # device this is a plain sequential loop
+    from segmamba_tpu.parallel.eval import eval_map
+    results = eval_map(predict_case, list(range(len(test_ds))))
+    all_dices = [r for r in results if r is not None]
 
     if all_dices:
         arr = np.asarray(all_dices, np.float64)

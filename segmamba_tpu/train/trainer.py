@@ -215,7 +215,7 @@ class Trainer:
                 self.epoch = epoch
                 state = self.train_epoch(state, train_loader)
                 if val_loader is not None and (epoch + 1) % self.val_every == 0:
-                    outs = [self.validation_step(state, b) for b in val_loader]
+                    outs = self.validate(state, val_loader)
                     self.validation_end(state, outs)
         finally:
             train_loader.stop()
@@ -223,6 +223,32 @@ class Trainer:
                 val_loader.stop()
             self.logger.close()
         return state
+
+    def validate(self, state, val_loader):
+        """Run ``validation_step`` over the val stream, fanned out across
+        local devices via ``parallel.eval.eval_map`` when more than one is
+        present — the reference shards eval cases with
+        SequentialDistributedSampler and all_gathers the results
+        (trainer.py:301-310, sampler.py:5-48). Batches are grouped to
+        bound host memory; order is preserved."""
+        devices = jax.local_devices()
+        if len(devices) == 1:
+            return [self.validation_step(state, b) for b in val_loader]
+        from segmamba_tpu.parallel.eval import eval_map
+
+        outs, group = [], []
+        for batch in val_loader:
+            group.append(batch)
+            if len(group) == len(devices):
+                outs.extend(eval_map(
+                    lambda b: self.validation_step(state, b), group,
+                    devices=devices))
+                group = []
+        if group:
+            outs.extend(eval_map(
+                lambda b: self.validation_step(state, b), group,
+                devices=devices[:len(group)]))
+        return outs
 
     def train_epoch(self, state, train_loader):
         t_epoch = time.time()

@@ -183,6 +183,63 @@ def test_trainer_validation_jit_cached():
     assert t._jitted_apply is fn1  # same cached wrapper
 
 
+def test_trainer_validate_fans_out_over_devices():
+    """Trainer.validate must shard val batches over all 8 virtual devices
+    (SequentialDistributedSampler semantics) and return metrics identical
+    to — and ordered like — the sequential loop (VERDICT r2 item 6)."""
+    from flax import linen as nn
+    from segmamba_tpu.train.trainer import Trainer
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3)(x.reshape(x.shape[0], -1)).reshape(
+                x.shape[0], 1, 1, 1, 3) * jnp.ones((1, *x.shape[1:4], 1))
+
+    model = M()
+    t = Trainer(model, logdir="/tmp/_validate_fanout_test", num_classes=3,
+                num_workers=0)
+    state = create_train_state(model, jax.random.key(0),
+                               jnp.ones((1, 2, 2, 2, 2)))
+    rng = np.random.default_rng(0)
+    batches = [{"image": rng.standard_normal((1, 2, 2, 2, 2)).astype(
+                    np.float32),
+                "label": rng.integers(0, 3, (1, 2, 2, 2))}
+               for _ in range(11)]  # not a multiple of 8: tail shard path
+
+    seen_devices = []
+    orig_step = t.validation_step
+
+    def spying_step(state, batch):
+        seen_devices.append(jax.config.jax_default_device)
+        return orig_step(state, batch)
+
+    sequential = [orig_step(state, b) for b in batches]
+    t.validation_step = spying_step
+    fanned = t.validate(state, iter(batches))
+    assert fanned == sequential                      # order + values
+    devs = {str(d) for d in seen_devices if d is not None}
+    assert len(devs) == 8                            # all devices used
+
+
+def test_eval_map_assigns_contiguous_shards():
+    from segmamba_tpu.parallel.eval import eval_map, sequential_shards
+
+    shards, mask = sequential_shards(10, 4)
+    assert shards == [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 0, 1]]
+    assert mask[3] == [True, False, False]
+    by_dev = {}
+
+    def fn(i):
+        by_dev.setdefault(str(jax.config.jax_default_device), []).append(i)
+        return i * i
+
+    out = eval_map(fn, list(range(10)))
+    assert out == [i * i for i in range(10)]
+    # wrap-around padding indices must not be evaluated twice
+    assert sorted(sum(by_dev.values(), [])) == list(range(10))
+
+
 def test_dice_and_bce_loss():
     from segmamba_tpu.train.losses import dice_and_bce_loss
     rng = np.random.default_rng(9)
