@@ -116,6 +116,41 @@ def main():
                lambda *a: mamba_scan_fused(*a), (u, dt, z, A, Bm, Cm, D, bias),
                k=5)
 
+    if which in ("all", "scan_ab"):
+        # Hillis-Steele kernel vs MXU ratio-form kernel at the stage-0
+        # profile shape (VERDICT r2 item 1): fwd and fwd+bwd.
+        from segmamba_tpu.ops.scan_pallas import selective_scan_pallas
+        from segmamba_tpu.ops.scan_pallas_mxu import selective_scan_mxu
+        N = 16
+        u1 = jnp.asarray(rng.standard_normal((1, L, E)), jnp.float32)
+        dt1 = jnp.asarray(
+            np.abs(0.05 * rng.standard_normal((1, L, E))), jnp.float32)
+        A1 = -jnp.exp(jnp.asarray(
+            rng.uniform(0.0, np.log(16.0), (E, N)), jnp.float32))
+        B1 = jnp.asarray(rng.standard_normal((1, L, N)), jnp.float32)
+        C1 = jnp.asarray(rng.standard_normal((1, L, N)), jnp.float32)
+        args1 = (u1, dt1, A1, B1, C1)
+
+        impls = {
+            "hs": lambda *a: selective_scan_pallas(*a, delta_softplus=True),
+            "mxu": lambda *a: selective_scan_mxu(*a, delta_softplus=True,
+                                                 guarded=False),
+            "mxu_guard": lambda *a: selective_scan_mxu(*a,
+                                                       delta_softplus=True),
+        }
+        outs = {}
+        for name, fn in impls.items():
+            outs[name] = fn(*args1)
+            report(f"scan fwd {name} (262144,96,N16)", fn, args1, k=5)
+        err = float(jnp.max(jnp.abs(outs["hs"] - outs["mxu"])))
+        print(f"  max|hs - mxu| = {err:.3e}")
+        for name, fn in impls.items():
+            def vg(fn):
+                return lambda *a: jax.grad(
+                    lambda *b: jnp.sum(fn(*b)).astype(jnp.float32),
+                    argnums=(0, 1, 2, 3, 4))(*a)
+            report(f"scan fwd+bwd {name}", vg(fn), args1, k=3)
+
     if which in ("all", "layer"):
         from segmamba_tpu.models.segmamba import MambaLayer
         h = jnp.asarray(rng.standard_normal((1, 64, 64, 64, 48)), jnp.bfloat16)

@@ -231,4 +231,9 @@ def selective_scan(u, delta, A, B, C, D=None, z=None, delta_bias=None,
         return selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
                                      delta_softplus, return_last_state,
                                      chunk_size=chunk_size)
+    if impl == "mxu":
+        from segmamba_tpu.ops.scan_pallas_mxu import selective_scan_mxu
+        return selective_scan_mxu(u, delta, A, B, C, D, z, delta_bias,
+                                  delta_softplus, return_last_state,
+                                  chunk_size=chunk_size)
     raise ValueError(f"unknown selective_scan impl: {impl!r}")
