@@ -30,8 +30,11 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--loss", default="ce", choices=["ce", "dice_ce"])
     ap.add_argument("--augmentation", default="default",
-                    choices=["default", "nomirror", "onlymirror",
-                             "onlyspatial", "noaug"])
+                    choices=["default", "device", "nomirror", "onlymirror",
+                             "onlyspatial", "noaug"],
+                    help="'device' runs the full default chain on the "
+                         "accelerator inside the train step (TPU-first; "
+                         "frees the single-core host data path)")
     ap.add_argument("--num-workers", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])

@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="continue from the existing checkpoint")
     ap.add_argument("--steps-per-epoch", type=int, default=50)
+    ap.add_argument("--augmentation", default="noaug",
+                    help="Trainer augmentation mode (noaug/default/device)")
+    ap.add_argument("--num-workers", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -89,9 +92,10 @@ def main():
         model, os.path.join(args.dir, "logs"), max_epochs=epochs,
         batch_size=2, val_every=max(2, epochs // 2),
         num_step_per_epoch=args.steps_per_epoch, val_number=4,
-        patch_size=(128, 128, 128), augmentation="noaug",
+        patch_size=(128, 128, 128), augmentation=args.augmentation,
         learning_rate=1e-2, scheduler_type="poly", loss="ce",
-        num_classes=4, num_workers=2, seed=42, resume=args.resume)
+        num_classes=4, num_workers=args.num_workers, seed=42,
+        resume=args.resume)
 
     train_ds, val_ds, _ = get_train_val_test_loader_from_train(
         data_dir, train_rate=0.6, val_rate=0.2, test_rate=0.2)

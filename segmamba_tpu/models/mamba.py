@@ -94,6 +94,10 @@ class MambaV3(nn.Module):
     nslices: int | None = None
     scan_impl: str = "auto"
     scan_chunk: int = 128
+    # opt-in zero-copy slice-order kernel for scan_impl="dir" (exact on
+    # hardware but measured 12x slower than interleave+scan at stage-0;
+    # see _run_directions_dir)
+    slice_kernel: bool = False
     dtype: jnp.dtype = jnp.float32
     # sequence parallelism: when ``mesh`` is set, the inner op (conv + scan)
     # runs under shard_map with the token dim sharded over ``seq_axis``
@@ -239,22 +243,22 @@ class MambaV3(nn.Module):
             rep(bias3f, 1), reverse=True, chunk_size=self.scan_chunk)
 
         if use_slice:
-            from segmamba_tpu.ops.scan_pallas import _interpret
-            # The (S, Tp) BlockSpec scheme needs Tp >= 8 sublanes on real
-            # hardware (Mosaic block-divisibility); until the kernel grows
-            # that layout, the on-chip path interleaves the (smaller,
-            # post-conv) scan operands instead — still cheaper than the
-            # old path's pre-conv xz interleave + output deinterleave.
-            if slice_scan_supported(L, nslices, self.scan_chunk) \
-                    and _interpret():
+            # The zero-copy slice kernel (hardware-legal (S, Tp>=8, Dblk)
+            # blocks, exact on-chip) LOSES to materializing the interleave:
+            # its S-strided block DMA measured 59 ms vs 5.1 ms for
+            # interleave+batched-scan at stage-0 (v5e, 262144x96). XLA's
+            # gather copy is ~0.5 ms; strided DMA on every operand is not.
+            # Default therefore interleaves; ``slice_kernel=True`` opts in.
+            if self.slice_kernel \
+                    and slice_scan_supported(L, nslices, self.scan_chunk):
                 out_s = mamba_scan_fused_slice(
                     xc[2], dt[2], z, rep(A3, 2), Bm[2], Cm[2], rep(D3f, 2),
                     rep(bias3f, 2), nslices=nslices,
                     chunk_size=self.scan_chunk)
                 combined = combined + out_s
             else:
-                # irregular shapes / on-chip: interleave the (already-
-                # convolved) activations and reuse the forward kernel
+                # interleave the (already-convolved) activations and reuse
+                # the forward kernel
                 il = lambda a: slice_interleave(a, nslices)
                 out_s = mamba_scan_fused_dir(
                     il(xc[2]), il(dt[2]), il(z), rep(A3, 2), il(Bm[2]),

@@ -355,64 +355,74 @@ def mamba_scan_fused_dir(u, dt, z, A, B, C, D, dt_bias, *, reverse=False,
 # ---------------------------------------------------------------------------
 # "slice" variant: interleaved scan order via (S, Tp) blocks, original layout
 # ---------------------------------------------------------------------------
+#
+# Hardware-legal layout (v2): the round-2 scheme used (S, Tp) blocks with
+# Tp = chunk//S < 8, which Mosaic rejects (sub-8-sublane blocks). Here the
+# block is (1, S, Tp, Dblk) with Tp >= 8 sublanes and Dblk lanes — always
+# legal — and the kernel walks the T = S*Tp scan-order tokens in ``n_sub``
+# sequential sub-chunks of S*(Tp/n_sub) tokens so VMEM temps stay at the
+# baseline kernel's size. B/C are passed PRE-interleaved (R, N, L): at
+# N=16 vs dim>=96 that copy moves <1/10 of the bytes the old path's
+# xz-interleave moved, and the big operands (u, dt, z, out) never get
+# reordered in HBM. The forward saves per-SUB-chunk exit states so the
+# backward reads its entries directly (no recompute pre-pass).
 
 
-def _ld_slice(ref, N=None):
-    """(1, S, Tp, X) block -> (T, X) tile in interleaved scan order, or
-    (1, N, S, Tp) -> (N, T) when N is given."""
-    if N is None:
-        t = ref[0]                                       # (S, Tp, X)
-        S, Tp, X = t.shape
-        return jnp.swapaxes(t, 0, 1).reshape(S * Tp, X)
-    t = ref[0]                                           # (N, S, Tp)
-    _, S, Tp = t.shape
-    return jnp.swapaxes(t, 1, 2).reshape(N, S * Tp)
+def _ld_part(ref, sl):
+    """(1, S, Tp, X) block, position slice ``sl`` -> (Ts, X) scan-order tile
+    (interleaved order iterates slices fastest: token j = p*S + s)."""
+    t = ref[0, :, sl, :]                                 # (S, Tsub, X)
+    S, Tsub, X = t.shape
+    return jnp.swapaxes(t, 0, 1).reshape(Tsub * S, X)
 
 
-def _st_slice(tile, S, Tp):
-    """(T, X) scan-order tile -> (S, Tp, X) block of the original layout."""
-    T, X = tile.shape
-    return jnp.swapaxes(tile.reshape(Tp, S, X), 0, 1)
+def _st_part(tile, S, Tsub):
+    """(Ts, X) scan-order tile -> (S, Tsub, X) block piece."""
+    Ts, X = tile.shape
+    return jnp.swapaxes(tile.reshape(Tsub, S, X), 0, 1)
 
 
-def _slice_fwd_kernel(S, Tp, u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref,
-                      bias_ref, Dv_ref, out_ref, st_ref, carry_ref):
-    T = S * Tp
+def _slice_fwd_kernel(S, Tp, n_sub, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
+                      Ct_ref, bias_ref, Dv_ref, out_ref, st_ref, carry_ref):
     c = pl.program_id(2)
 
     @pl.when(c == 0)
     def _():
         carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
-    N = At_ref.shape[1]
-    u = _ld_slice(u_ref).astype(jnp.float32)
-    delta = jax.nn.softplus(_ld_slice(dt_ref).astype(jnp.float32)
-                            + bias_ref[0, 0].astype(jnp.float32))
-    z = _ld_slice(z_ref).astype(jnp.float32)
+    Tsub = Tp // n_sub
+    Ts = S * Tsub
     At = At_ref[0].astype(jnp.float32)
-    Bt = _ld_slice(Bt_ref, N).astype(jnp.float32)
-    Ct = _ld_slice(Ct_ref, N).astype(jnp.float32)
+    biasv = bias_ref[0, 0].astype(jnp.float32)
+    Dvv = Dv_ref[0, 0].astype(jnp.float32)
+    N, Dblk = carry_ref.shape
 
-    a = jnp.exp(delta[None] * At[:, None, :])
-    bmat = (delta * u)[None] * Bt[:, :, None]
-    carry = carry_ref[...][:, None, :]
-    bmat = jnp.concatenate(
-        [bmat[:, 0:1] + a[:, 0:1] * carry, bmat[:, 1:]], axis=1)
-    x = _hs_fwd_b(a, bmat, T, axis=1)
-    y = jnp.sum(Ct[:, :, None] * x, axis=0)
-    ytot = y + Dv_ref[0, 0].astype(jnp.float32) * u
-    out = ytot * (z * jax.nn.sigmoid(z))
-    out_ref[0] = _st_slice(out, S, Tp).astype(out_ref.dtype)
+    for h in range(n_sub):
+        sl = slice(h * Tsub, (h + 1) * Tsub)
+        u = _ld_part(u_ref, sl).astype(jnp.float32)
+        delta = jax.nn.softplus(_ld_part(dt_ref, sl).astype(jnp.float32)
+                                + biasv)
+        z = _ld_part(z_ref, sl).astype(jnp.float32)
+        Bt = Bt_ref[0, :, h * Ts:(h + 1) * Ts].astype(jnp.float32)
+        Ct = Ct_ref[0, :, h * Ts:(h + 1) * Ts].astype(jnp.float32)
 
-    Nc, Dblk = carry_ref.shape
-    carry_ref[...] = x[:, T - 1:T].reshape(Nc, Dblk)
-    st_ref[0, 0] = carry_ref[...]
+        a = jnp.exp(delta[None] * At[:, None, :])
+        bmat = (delta * u)[None] * Bt[:, :, None]
+        carry = carry_ref[...][:, None, :]
+        bs = jnp.concatenate(
+            [bmat[:, 0:1] + a[:, 0:1] * carry, bmat[:, 1:]], axis=1)
+        x = _hs_fwd_b(a, bs, Ts, axis=1)
+        y = jnp.sum(Ct[:, :, None] * x, axis=0) + Dvv * u
+        out = y * (z * jax.nn.sigmoid(z))
+        out_ref[0, :, sl, :] = _st_part(out, S, Tsub).astype(out_ref.dtype)
+        carry_ref[...] = x[:, Ts - 1:Ts].reshape(N, Dblk)
+        st_ref[0, 0, h] = carry_ref[...]
 
 
-def _slice_bwd_kernel(S, Tp, u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref,
-                      bias_ref, Dv_ref, dout_ref, ent_ref, du_ref, ddt_ref,
-                      dz_ref, dA_ref, dB_ref, dC_ref, dD_ref, gcarry_ref):
-    T = S * Tp
+def _slice_bwd_kernel(S, Tp, n_sub, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
+                      Ct_ref, bias_ref, Dv_ref, dout_ref, entc_ref, entp_ref,
+                      du_ref, ddt_ref, dz_ref, dA_ref, dB_ref, dC_ref,
+                      dD_ref, gcarry_ref):
     c = pl.program_id(2)
     nc = pl.num_programs(2)
 
@@ -422,72 +432,83 @@ def _slice_bwd_kernel(S, Tp, u_ref, dt_ref, z_ref, At_ref, Bt_ref, Ct_ref,
         dA_ref[...] = jnp.zeros(dA_ref.shape, dA_ref.dtype)
         dD_ref[...] = jnp.zeros(dD_ref.shape, dD_ref.dtype)
 
-    N = At_ref.shape[1]
-    u = _ld_slice(u_ref).astype(jnp.float32)
-    dt_raw = (_ld_slice(dt_ref).astype(jnp.float32)
-              + bias_ref[0, 0].astype(jnp.float32))
-    delta = jax.nn.softplus(dt_raw)
-    z = _ld_slice(z_ref).astype(jnp.float32)
+    Tsub = Tp // n_sub
+    Ts = S * Tsub
     At = At_ref[0].astype(jnp.float32)
-    Bt = _ld_slice(Bt_ref, N).astype(jnp.float32)
-    Ct = _ld_slice(Ct_ref, N).astype(jnp.float32)
-    Dv = Dv_ref[0, 0].astype(jnp.float32)
-    dout = _ld_slice(dout_ref).astype(jnp.float32)
+    biasv = bias_ref[0, 0].astype(jnp.float32)
+    Dvv = Dv_ref[0, 0].astype(jnp.float32)
+    N, Dblk = gcarry_ref.shape
 
-    a = jnp.exp(delta[None] * At[:, None, :])
-    du_ = delta * u
-    bmat = du_[None] * Bt[:, :, None]
-    entry = ent_ref[0, 0].astype(jnp.float32)[:, None, :]
-    entry = jnp.where(c == nc - 1, jnp.zeros_like(entry), entry)
-    bs = jnp.concatenate(
-        [bmat[:, 0:1] + a[:, 0:1] * entry, bmat[:, 1:]], axis=1)
-    x = _hs_fwd_b(a, bs, T, axis=1)
-    x_prev = jnp.concatenate([entry, x[:, 0:T - 1]], axis=1)
-    y = jnp.sum(Ct[:, :, None] * x, axis=0)
-    ytot = y + Dv * u
+    # adjoint walks sub-chunks last-to-first; entry state of sub-chunk h is
+    # the exit of (h-1) in this chunk's state block, or the previous chunk's
+    # last exit (zeros for the first chunk, i.e. grid step c == nc - 1)
+    for h in range(n_sub - 1, -1, -1):
+        if h > 0:
+            entry = entc_ref[0, 0, h - 1].astype(jnp.float32)
+        else:
+            entry = jnp.where(c == nc - 1, 0.0,
+                              entp_ref[0, 0, n_sub - 1].astype(jnp.float32))
+        entry = entry[:, None, :]
 
-    sig = jax.nn.sigmoid(z)
-    silu = z * sig
-    dy = dout * silu
-    dz = dout * ytot * (sig + silu * (1.0 - sig))
-    dz_ref[0] = _st_slice(dz, S, Tp).astype(dz_ref.dtype)
-    dD_ref[0, 0] += jnp.sum(dy * u, axis=0, keepdims=True)
+        sl = slice(h * Tsub, (h + 1) * Tsub)
+        u = _ld_part(u_ref, sl).astype(jnp.float32)
+        dt_raw = _ld_part(dt_ref, sl).astype(jnp.float32) + biasv
+        delta = jax.nn.softplus(dt_raw)
+        z = _ld_part(z_ref, sl).astype(jnp.float32)
+        Bt = Bt_ref[0, :, h * Ts:(h + 1) * Ts].astype(jnp.float32)
+        Ct = Ct_ref[0, :, h * Ts:(h + 1) * Ts].astype(jnp.float32)
+        dout = _ld_part(dout_ref, sl).astype(jnp.float32)
 
-    dx = Ct[:, :, None] * dy[None]
-    m = _shift_up(a, 1, 1.0)
-    tail = jnp.concatenate(
-        [jnp.zeros(dx.shape[:1] + (T - 1,) + dx.shape[2:], jnp.float32),
-         gcarry_ref[...][:, None, :]], axis=1)
-    g = _hs_rev_v(m, dx + tail, T, axis=1)
-    Nc, Dblk = gcarry_ref.shape
-    gcarry_ref[...] = (a[:, 0:1] * g[:, 0:1]).reshape(Nc, Dblk)
+        a = jnp.exp(delta[None] * At[:, None, :])
+        du_ = delta * u
+        bmat = du_[None] * Bt[:, :, None]
+        bs = jnp.concatenate(
+            [bmat[:, 0:1] + a[:, 0:1] * entry, bmat[:, 1:]], axis=1)
+        x = _hs_fwd_b(a, bs, Ts, axis=1)
+        x_prev = jnp.concatenate([entry, x[:, 0:Ts - 1]], axis=1)
+        y = jnp.sum(Ct[:, :, None] * x, axis=0)
+        ytot = y + Dvv * u
 
-    dp = g * x_prev * a
-    Ssum = jnp.sum(g * Bt[:, :, None], axis=0)
-    ddelta = jnp.sum(dp * At[:, None, :], axis=0) + Ssum * u
-    ddt_ref[0] = _st_slice(ddelta * jax.nn.sigmoid(dt_raw), S, Tp).astype(
-        ddt_ref.dtype)
-    du_ref[0] = _st_slice(Ssum * delta + dy * Dv, S, Tp).astype(du_ref.dtype)
-    dA_ref[0, 0] += jnp.sum(dp * delta[None], axis=1)
-    dB_ref[0, 0] = jnp.swapaxes(
-        jnp.sum(g * du_[None], axis=2).reshape(N, Tp, S), 1, 2).astype(
-        dB_ref.dtype)
-    dC_ref[0, 0] = jnp.swapaxes(
-        jnp.sum(x * dy[None], axis=2).reshape(N, Tp, S), 1, 2).astype(
-        dC_ref.dtype)
+        sig = jax.nn.sigmoid(z)
+        silu = z * sig
+        dy = dout * silu
+        dz = dout * ytot * (sig + silu * (1.0 - sig))
+        dz_ref[0, :, sl, :] = _st_part(dz, S, Tsub).astype(dz_ref.dtype)
+        dD_ref[0, 0] += jnp.sum(dy * u, axis=0, keepdims=True)
+
+        dx = Ct[:, :, None] * dy[None]
+        m = _shift_up(a, 1, 1.0)
+        tail = jnp.concatenate(
+            [jnp.zeros(dx.shape[:1] + (Ts - 1,) + dx.shape[2:], jnp.float32),
+             gcarry_ref[...][:, None, :]], axis=1)
+        g = _hs_rev_v(m, dx + tail, Ts, axis=1)
+        gcarry_ref[...] = (a[:, 0:1] * g[:, 0:1]).reshape(N, Dblk)
+
+        dp = g * x_prev * a
+        Ssum = jnp.sum(g * Bt[:, :, None], axis=0)
+        ddelta = jnp.sum(dp * At[:, None, :], axis=0) + Ssum * u
+        ddt_ref[0, :, sl, :] = _st_part(
+            ddelta * jax.nn.sigmoid(dt_raw), S, Tsub).astype(ddt_ref.dtype)
+        du_ref[0, :, sl, :] = _st_part(
+            Ssum * delta + dy * Dvv, S, Tsub).astype(du_ref.dtype)
+        dA_ref[0, 0] += jnp.sum(dp * delta[None], axis=1)
+        dB_ref[0, 0, :, h * Ts:(h + 1) * Ts] = jnp.sum(
+            g * du_[None], axis=2).astype(dB_ref.dtype)
+        dC_ref[0, 0, :, h * Ts:(h + 1) * Ts] = jnp.sum(
+            x * dy[None], axis=2).astype(dC_ref.dtype)
 
 
-def _slice_fwd_call(u4, dt4, z4, At, Bt4, Ct4, bias, Dv, S, Tp, Dblk):
+def _slice_fwd_call(u4, dt4, z4, At, Bil, Cil, bias, Dv, S, Tp, n_sub, Dblk):
     R, _, P, D = u4.shape
     N = At.shape[1]
     nc, nd = P // Tp, D // Dblk
     T = S * Tp
 
     seq_spec = pl.BlockSpec((1, S, Tp, Dblk), lambda b, d, c: (b, 0, c, d))
-    bc_spec = pl.BlockSpec((1, N, S, Tp), lambda b, d, c: (b, 0, 0, c))
+    bc_spec = pl.BlockSpec((1, N, T), lambda b, d, c: (b, 0, c))
     vec_spec = pl.BlockSpec((1, 1, Dblk), lambda b, d, c: (b, 0, d))
     out, states = pl.pallas_call(
-        functools.partial(_slice_fwd_kernel, S, Tp),
+        functools.partial(_slice_fwd_kernel, S, Tp, n_sub),
         grid=(R, nd, nc),
         in_specs=[
             seq_spec, seq_spec, seq_spec,
@@ -496,46 +517,50 @@ def _slice_fwd_call(u4, dt4, z4, At, Bt4, Ct4, bias, Dv, S, Tp, Dblk):
         ],
         out_specs=[
             seq_spec,
-            pl.BlockSpec((1, 1, N, Dblk), lambda b, d, c: (b, c, 0, d)),
+            pl.BlockSpec((1, 1, n_sub, N, Dblk),
+                         lambda b, d, c: (b, c, 0, 0, d)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, S, P, D), u4.dtype),
-            jax.ShapeDtypeStruct((R, nc, N, D), jnp.float32),
+            jax.ShapeDtypeStruct((R, nc, n_sub, N, D), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((N, Dblk), jnp.float32)],
         interpret=_interpret(),
-    )(u4, dt4, z4, At, Bt4, Ct4, bias, Dv)
+    )(u4, dt4, z4, At, Bil, Cil, bias, Dv)
     return out, states
 
 
-def _slice_bwd_call(u4, dt4, z4, At, Bt4, Ct4, bias, Dv, dout4, states,
-                    S, Tp, Dblk):
+def _slice_bwd_call(u4, dt4, z4, At, Bil, Cil, bias, Dv, dout4, states,
+                    S, Tp, n_sub, Dblk):
     R, _, P, D = u4.shape
     N = At.shape[1]
     nc, nd = P // Tp, D // Dblk
+    T = S * Tp
 
     def rv(c):
         return nc - 1 - c
 
     seq_spec = pl.BlockSpec((1, S, Tp, Dblk), lambda b, d, c: (b, 0, rv(c), d))
-    bc_spec = pl.BlockSpec((1, N, S, Tp), lambda b, d, c: (b, 0, 0, rv(c)))
+    bc_spec = pl.BlockSpec((1, N, T), lambda b, d, c: (b, 0, rv(c)))
     vec_spec = pl.BlockSpec((1, 1, Dblk), lambda b, d, c: (b, 0, d))
+    st_spec = lambda idx: pl.BlockSpec(
+        (1, 1, n_sub, N, Dblk), lambda b, d, c: (b, idx(c), 0, 0, d))
     outs = pl.pallas_call(
-        functools.partial(_slice_bwd_kernel, S, Tp),
+        functools.partial(_slice_bwd_kernel, S, Tp, n_sub),
         grid=(R, nd, nc),
         in_specs=[
             seq_spec, seq_spec, seq_spec,
             pl.BlockSpec((1, N, Dblk), lambda b, d, c: (b, 0, d)),
             bc_spec, bc_spec, vec_spec, vec_spec,
             seq_spec,
-            pl.BlockSpec((1, 1, N, Dblk),
-                         lambda b, d, c: (b, jnp.maximum(rv(c) - 1, 0), 0, d)),
+            st_spec(rv),
+            st_spec(lambda c: jnp.maximum(rv(c) - 1, 0)),
         ],
         out_specs=[
             seq_spec, seq_spec, seq_spec,
             pl.BlockSpec((1, 1, N, Dblk), lambda b, d, c: (b, d, 0, 0)),
-            pl.BlockSpec((1, 1, N, S, Tp), lambda b, d, c: (d, b, 0, 0, rv(c))),
-            pl.BlockSpec((1, 1, N, S, Tp), lambda b, d, c: (d, b, 0, 0, rv(c))),
+            pl.BlockSpec((1, 1, N, T), lambda b, d, c: (d, b, 0, rv(c))),
+            pl.BlockSpec((1, 1, N, T), lambda b, d, c: (d, b, 0, rv(c))),
             pl.BlockSpec((1, 1, 1, Dblk), lambda b, d, c: (b, d, 0, 0)),
         ],
         out_shape=[
@@ -543,57 +568,69 @@ def _slice_bwd_call(u4, dt4, z4, At, Bt4, Ct4, bias, Dv, dout4, states,
             jax.ShapeDtypeStruct((R, S, P, D), jnp.float32),
             jax.ShapeDtypeStruct((R, S, P, D), jnp.float32),
             jax.ShapeDtypeStruct((R, nd, N, Dblk), jnp.float32),
-            jax.ShapeDtypeStruct((nd, R, N, S, P), jnp.float32),
-            jax.ShapeDtypeStruct((nd, R, N, S, P), jnp.float32),
+            jax.ShapeDtypeStruct((nd, R, N, S * P), jnp.float32),
+            jax.ShapeDtypeStruct((nd, R, N, S * P), jnp.float32),
             jax.ShapeDtypeStruct((R, nd, 1, Dblk), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((N, Dblk), jnp.float32)],
         interpret=_interpret(),
-    )(u4, dt4, z4, At, Bt4, Ct4, bias, Dv, dout4, states)
+    )(u4, dt4, z4, At, Bil, Cil, bias, Dv, dout4, states, states)
     du, ddt, dz, dA_p, dB_p, dC_p, dD_p = outs
     dAt = jnp.moveaxis(dA_p, 1, 2).reshape(R, N, D)
     dDv = dD_p.reshape(R, 1, D)
     dbias = jnp.sum(ddt, axis=(1, 2)).reshape(R, 1, D)
-    dBt = jnp.sum(dB_p, axis=0)
-    dCt = jnp.sum(dC_p, axis=0)
-    return du, ddt, dz, dAt, dBt, dCt, dDv, dbias
+    dBil = jnp.sum(dB_p, axis=0)
+    dCil = jnp.sum(dC_p, axis=0)
+    return du, ddt, dz, dAt, dBil, dCil, dDv, dbias
 
 
 @functools.lru_cache(maxsize=None)
-def _make_slice_core(S, Tp, Dblk):
+def _make_slice_core(S, Tp, n_sub, Dblk):
     @jax.custom_vjp
-    def core(u4, dt4, z4, At, Bt4, Ct4, bias, Dv):
-        out, _ = _slice_fwd_call(u4, dt4, z4, At, Bt4, Ct4, bias, Dv,
-                                 S, Tp, Dblk)
+    def core(u4, dt4, z4, At, Bil, Cil, bias, Dv):
+        out, _ = _slice_fwd_call(u4, dt4, z4, At, Bil, Cil, bias, Dv,
+                                 S, Tp, n_sub, Dblk)
         return out
 
-    def core_fwd(u4, dt4, z4, At, Bt4, Ct4, bias, Dv):
-        out, states = _slice_fwd_call(u4, dt4, z4, At, Bt4, Ct4, bias, Dv,
-                                      S, Tp, Dblk)
-        return out, (u4, dt4, z4, At, Bt4, Ct4, bias, Dv, states)
+    def core_fwd(u4, dt4, z4, At, Bil, Cil, bias, Dv):
+        out, states = _slice_fwd_call(u4, dt4, z4, At, Bil, Cil, bias, Dv,
+                                      S, Tp, n_sub, Dblk)
+        return out, (u4, dt4, z4, At, Bil, Cil, bias, Dv, states)
 
     def core_bwd(res, dout):
-        u4, dt4, z4, At, Bt4, Ct4, bias, Dv, states = res
-        du, ddt, dz, dAt, dBt, dCt, dDv, dbias = _slice_bwd_call(
-            u4, dt4, z4, At, Bt4, Ct4, bias, Dv, dout.astype(jnp.float32),
-            states, S, Tp, Dblk)
+        u4, dt4, z4, At, Bil, Cil, bias, Dv, states = res
+        du, ddt, dz, dAt, dBil, dCil, dDv, dbias = _slice_bwd_call(
+            u4, dt4, z4, At, Bil, Cil, bias, Dv, dout.astype(jnp.float32),
+            states, S, Tp, n_sub, Dblk)
         return (du.astype(u4.dtype), ddt.astype(dt4.dtype),
                 dz.astype(z4.dtype), dAt.astype(At.dtype),
-                dBt.astype(Bt4.dtype), dCt.astype(Ct4.dtype),
+                dBil.astype(Bil.dtype), dCil.astype(Cil.dtype),
                 dbias.astype(bias.dtype), dDv.astype(Dv.dtype))
 
     core.defvjp(core_fwd, core_bwd)
     return core
 
 
+def _slice_tp(S):
+    """Positions-per-block: >= 8 sublanes; on hardware the pre-interleaved
+    B/C blocks (1, N, T) additionally need T = S*Tp lane-aligned (128)."""
+    if _interpret():
+        return 8
+    Tp = 8
+    while (S * Tp) % 128 and Tp <= 256:
+        Tp += 8
+    return Tp if (S * Tp) % 128 == 0 else None
+
+
 def slice_scan_supported(seqlen, nslices, chunk_size=DEF_CHUNK):
-    """The (S, Tp) block scheme needs S | T and Tp | P."""
+    """The (S, Tp) block scheme needs S | L and Tp | P for the
+    hardware-legal Tp (see ``_slice_tp``)."""
     if nslices is None or nslices < 2:
         return False
-    if seqlen % nslices != 0 or chunk_size % nslices != 0:
+    if seqlen % nslices != 0:
         return False
-    Tp = chunk_size // nslices
-    return Tp >= 1 and (seqlen // nslices) % Tp == 0
+    Tp = _slice_tp(nslices)
+    return Tp is not None and (seqlen // nslices) % Tp == 0
 
 
 def mamba_scan_fused_slice(u, dt, z, A, B, C, D, dt_bias, *, nslices,
@@ -602,16 +639,28 @@ def mamba_scan_fused_slice(u, dt, z, A, B, C, D, dt_bias, *, nslices,
 
     Inputs are (R, L, dim)/(R, L, N) in the original (slice-major) token
     order; the scan runs as if the sequence had been interleaved
-    (mamba_simple.py:245-247) and the output is returned in original order —
-    no interleave/deinterleave copies. Requires
-    ``slice_scan_supported(L, nslices, chunk_size)``.
+    (mamba_simple.py:245-247) and the output is returned in original order.
+    The bulk operands (u/dt/z/out) are never reordered in HBM — the
+    BlockSpec DMA gathers (S, Tp) position-blocks and the kernel transposes
+    tiles to scan order in VMEM; only the narrow B/C (N=16 columns) are
+    pre-interleaved. Requires ``slice_scan_supported(L, nslices)``.
     """
     R, seqlen, dim = u.shape
     S = nslices
     P = seqlen // S
-    T = min(chunk_size, S * P)
-    Tp = T // S
+    Tp = _slice_tp(S)
+    T = S * Tp
     Dblk = _pick_dblock(dim, d_block)
+    # sequential sub-chunks inside the kernel keep the per-sub-chunk VMEM
+    # working set (several (N, Ts, Dblk) f32 temps) within Mosaic's 16MB
+    # scoped limit. Ts*Dblk <= 128*96 is the measured-safe budget (the
+    # stage-0 S=64/Dblk=96 config); Ts=128 at Dblk=128 OOMs by ~2MB.
+    budget = 128 * 96
+    n_sub = max(1, min(Tp, -(-(T * Dblk) // budget)))
+    while Tp % n_sub:
+        n_sub += 1
+    if n_sub > Tp:  # pragma: no cover - Tp always divisible by some n_sub
+        n_sub = Tp
     pad_d = (-dim) % Dblk
 
     def pad_last(arr):
@@ -625,12 +674,21 @@ def mamba_scan_fused_slice(u, dt, z, A, B, C, D, dt_bias, *, nslices,
     dt4 = pad_last(dt).reshape(R, S, P, dim + pad_d)
     z4 = pad_last(z).reshape(R, S, P, dim + pad_d)
     N = A.shape[-1]
-    Bt4 = jnp.swapaxes(B, 1, 2).reshape(R, N, S, P)
-    Ct4 = jnp.swapaxes(C, 1, 2).reshape(R, N, S, P)
-    At3 = jnp.swapaxes(pad_last(A.astype(jnp.float32)), 1, 2)
+
+    def il_t(x):
+        # (R, L, N) slice-major -> scan order, transposed to (R, N, L)
+        return jnp.swapaxes(
+            jnp.swapaxes(x.reshape(R, S, P, N), 1, 2).reshape(R, S * P, N),
+            1, 2)
+
+    Bil = il_t(B)
+    Cil = il_t(C)
+    # A is (R, dim, N): transpose FIRST so pad_last pads the channel axis
+    # (padding before the swap would grow the state axis instead)
+    At3 = pad_last(jnp.swapaxes(A.astype(jnp.float32), 1, 2))
     bias3 = pad_last(dt_bias.astype(jnp.float32).reshape(R, 1, dim))
     Dv3 = pad_last(D.astype(jnp.float32).reshape(R, 1, dim))
 
-    core = _make_slice_core(S, Tp, Dblk)
-    out4 = core(u4, dt4, z4, At3, Bt4, Ct4, bias3, Dv3)
+    core = _make_slice_core(S, Tp, n_sub, Dblk)
+    out4 = core(u4, dt4, z4, At3, Bil, Cil, bias3, Dv3)
     return out4.reshape(R, seqlen, dim + pad_d)[:, :, :dim]

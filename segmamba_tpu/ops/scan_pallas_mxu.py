@@ -37,6 +37,20 @@ The backward recomputes in-chunk states from stored chunk-entry states (the
 CUDA backward's reverse-scan recompute, selective_scan_bwd_kernel.cuh:19,59)
 and evaluates the adjoint ``g[t] = dx[t] + a[t+1] g[t+1]`` in the same
 sub-block ratio form with upper-triangular matmuls.
+
+MEASURED OUTCOME (v5e, 262144x96xN16 row, 2026-08-17): the MXU form LOSES —
+fwd 14.5 ms vs 6.1 ms for the Hillis-Steele kernel; fwd+bwd 37.0 vs 16.3 ms;
+and with ``guarded=True`` realistic softplus-delta magnitudes trip the
+overflow guard (softplus maps even small pre-activations to delta ~0.7;
+x 16-step sub-block x |A|<=16 gives log-drops ~180 >> 75), so real model
+data routes to Hillis-Steele regardless. Root causes, recorded so later
+rounds don't re-litigate: (a) Mamba-1's decay varies per (state, channel)
+pair, so the SSD-style segsum/matmul trick needs the ratio factorization
+``P[t]/P[s]``, which overflows f32 outside toy delta ranges — there is no
+per-(n,d) stable matmul form; (b) even in-range, HIGHEST-precision f32
+triangular matmuls on the (T, T) mask cost more than the ~16 saved VPU
+passes on v5e. The kernel stays available as ``impl="mxu"`` (exact via the
+guard) but the Hillis-Steele kernel remains the default on merit.
 """
 
 from __future__ import annotations

@@ -59,10 +59,19 @@ def make_loss_fn(loss: str = "ce", num_classes: int = 4) -> Callable:
     raise ValueError(f"unknown loss {loss!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("num_classes", "loss"),
+@functools.partial(jax.jit, static_argnames=("num_classes", "loss",
+                                             "augment"),
                    donate_argnames=("state",))
 def _train_step(state: TrainState, batch: dict, num_classes: int,
-                loss: str) -> tuple[TrainState, dict]:
+                loss: str, augment: bool = False,
+                augment_key=None) -> tuple[TrainState, dict]:
+    if augment:
+        # on-device augmentation fused into the step (data/augment_device.py)
+        # — the 1-core host cannot run the numpy chain at chip speed
+        from segmamba_tpu.data.augment_device import device_augment
+        image, label = device_augment(batch["image"], batch["label"],
+                                      augment_key)
+        batch = {"image": image, "label": label}
     loss_fn = make_loss_fn(loss, num_classes)
 
     def compute_loss(params):
@@ -75,12 +84,17 @@ def _train_step(state: TrainState, batch: dict, num_classes: int,
     return state, {"loss": loss_val, "grad_norm": gnorm}
 
 
-def train_step(state, batch, *, mesh=None, num_classes=4, loss="ce"):
+def train_step(state, batch, *, mesh=None, num_classes=4, loss="ce",
+               augment_key=None):
     """One optimization step. With a mesh, the batch is sharded over the
-    'data' axis and params replicated — XLA inserts the gradient all-reduce."""
+    'data' axis and params replicated — XLA inserts the gradient all-reduce.
+    ``augment_key``: when given, the device augmentation chain runs inside
+    the jitted step on the raw patches."""
     if mesh is not None:
         batch = shard_batch(batch, mesh)
-    return _train_step(state, batch, num_classes, loss)
+    return _train_step(state, batch, num_classes, loss,
+                       augment=augment_key is not None,
+                       augment_key=augment_key)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn",))

@@ -56,6 +56,11 @@ from segmamba_tpu.utils.profiling import StepTimer
 
 
 def _pick_transform(augmentation):
+    if augmentation == "device":
+        # raw patches stream to the chip; the chain runs inside the jitted
+        # train step (data/augment_device.py) — host keeps only the memmap
+        # crop. RemoveLabel(-1) happens on device.
+        return None
     if augmentation in (True, "default"):
         return get_train_transforms()
     if augmentation == "nomirror":
@@ -65,6 +70,38 @@ def _pick_transform(augmentation):
     if augmentation == "onlyspatial":
         return get_train_transforms_onlyspatial()
     return get_train_transforms_noaug()
+
+
+def _prefetch(iterator, n=2):
+    """Move host batches to device arrays from a background thread so the
+    host->device transfer overlaps the previous step's device time (the
+    reference relies on pin_memory + CUDA async copies for the same overlap,
+    trainer.py:159-162)."""
+    import queue as queue_mod
+    import threading
+
+    q = queue_mod.Queue(maxsize=n)
+    err = []
+
+    def produce():
+        try:
+            for b in iterator:
+                q.put({k: (jnp.asarray(v) if hasattr(v, "shape") else v)
+                       for k, v in b.items()})
+        except Exception as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        b = q.get()
+        if b is None:
+            break
+        yield b
+    if err:
+        raise err[0]
 
 
 class Trainer:
@@ -252,12 +289,15 @@ class Trainer:
 
     def train_epoch(self, state, train_loader):
         t_epoch = time.time()
-        for batch in train_loader:
+        device_aug = self.augmentation == "device"
+        aug_base = jax.random.key(self.seed + 7) if device_aug else None
+        for batch in _prefetch(iter(train_loader)):
             self.timer.mark("step")
             state, metrics = train_step(
-                state, {"image": jnp.asarray(batch["image"]),
-                        "label": jnp.asarray(batch["label"])},
-                mesh=self.mesh, num_classes=self.num_classes, loss=self.loss)
+                state, {"image": batch["image"], "label": batch["label"]},
+                mesh=self.mesh, num_classes=self.num_classes, loss=self.loss,
+                augment_key=(jax.random.fold_in(aug_base, self.global_step)
+                             if device_aug else None))
             self.global_step += 1
             if self.global_step % 10 == 0:
                 self.logger.log("training_loss", metrics["loss"],

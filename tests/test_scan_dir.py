@@ -129,6 +129,21 @@ def test_slice_scan_matches_interleaved_fused():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_slice_scan_padded_channels():
+    """dim > Dblk forces channel padding; regression for the At transpose-
+    before-pad bug (padding grew the state axis and drove OOB B/C reads)."""
+    R, L, D, N, S = 1, 64, 136, 4, 8
+    u, dt, z, A, B, C, Dsk, bias = _scan_inputs(11, R, L, D, N)
+    il = lambda a: slice_interleave(a, S)
+    want = slice_deinterleave(
+        mamba_scan_fused(il(u), il(dt), il(z), A, il(B), il(C), Dsk, bias,
+                         chunk_size=32), S)
+    got = mamba_scan_fused_slice(u, dt, z, A, B, C, Dsk, bias, nslices=S,
+                                 chunk_size=32, d_block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_slice_scan_grads():
     R, L, D, N, S = 1, 64, 8, 4, 8
     u, dt, z, A, B, C, Dsk, bias = _scan_inputs(6, R, L, D, N)
@@ -152,19 +167,21 @@ def test_slice_scan_grads():
                                    atol=2e-5, err_msg=name)
 
 
-@pytest.mark.parametrize("L,S", [(64, 8), (48, 6)])
-def test_module_dir_impl_matches_ref(L, S):
+@pytest.mark.parametrize("L,S,slice_kernel", [(64, 8, False), (48, 6, False),
+                                              (64, 8, True)])
+def test_module_dir_impl_matches_ref(L, S, slice_kernel):
     """MambaV3(scan_impl='dir') == MambaV3(scan_impl='ref') — the full
-    tri-oriented module with no reorder copies (regular + irregular shapes;
-    the irregular case exercises the interleave fallback)."""
+    tri-oriented module (regular + irregular shapes; the irregular case
+    exercises the interleave fallback, slice_kernel=True the zero-copy
+    slice kernel)."""
     rng = np.random.default_rng(7)
     B, C = 1, 8
     x = jnp.asarray(rng.standard_normal((B, L, C)), jnp.float32)
     ref_mod = MambaV3(d_model=C, d_state=4, nslices=S, scan_impl="ref")
     params = ref_mod.init(jax.random.PRNGKey(0), x)
     want = ref_mod.apply(params, x)
-    got = MambaV3(d_model=C, d_state=4, nslices=S,
-                  scan_impl="dir").apply(params, x)
+    got = MambaV3(d_model=C, d_state=4, nslices=S, scan_impl="dir",
+                  slice_kernel=slice_kernel).apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-4)
 
