@@ -139,6 +139,126 @@ def _tricubic(vol, coords, cval):
     return out
 
 
+# The direct warp (``_affine_coords`` + ``_trilinear``/``_tricubic``) is the
+# *oracle*: geometrically exact one-shot resampling, but its arbitrary-coord
+# gathers are TPU-hostile (measured 53 s for an order-3 warp of a 2x128^3x4
+# batch on v5e — XLA lowers the 64-tap linear-index gather to scalar loads).
+# The production path below factors the affine into elementary SHEAR/SCALE
+# passes, each a 1-D resample along a single axis whose sample position
+# depends on at most one other coordinate — so each pass is a batched
+# (I_out x I_in) interpolation-matrix matmul that runs on the MXU.  The
+# composed coordinate map is EXACTLY the requested affine (LU factorization,
+# center-conjugated); the delta vs the one-shot oracle is interpolation
+# smoothing from repeated 1-D kernels (the classic Paeth-shear rotation
+# trade) and edge fill — acceptable for a stochastic augmentation, and the
+# linear-ramp/identity cases stay exact.
+
+
+def _lu_shear_passes(mat):
+    """Factor ``mat`` into 9 elementary passes (applied order).
+
+    Each pass is ``(axis_i, axis_j, m, alpha)``: resample along ``axis_i`` at
+    ``src_i = m*(v_i - c_i) + alpha*(v_j - c_j) + c_i`` (``axis_j`` None for
+    pure scales).  Product P9..P1 == mat via Doolittle LU:
+    mat = L(l10,l20,l21) @ diag(d) @ U'(u01,u02,u12); elementary expansions
+    are exact for unit-triangular 3x3.  Pivots d0, d1 stay > 0.4 for the
+    augmentation's parameter range (rotations <= 30deg/axis, scale 0.7-1.4).
+    """
+    a = mat
+    d0 = a[0, 0]
+    u01 = a[0, 1] / d0
+    u02 = a[0, 2] / d0
+    l10 = a[1, 0] / d0
+    l20 = a[2, 0] / d0
+    d1 = a[1, 1] - l10 * u01 * d0
+    u12 = (a[1, 2] - l10 * u02 * d0) / d1
+    l21 = (a[2, 1] - l20 * u01 * d0) / d1
+    d2 = a[2, 2] - l20 * u02 * d0 - l21 * u12 * d1
+    one = jnp.float32(1.0)
+    # (I+aE01)(I+bE02)(I+cE12) == I + aE01 + (b+ac)E02 + cE12
+    b_ = u02 - u01 * u12
+    # Each loop step does out_k(v) = out_{k-1}(P_k v), so the composed
+    # sampling matrix is P1 @ P2 @ ... @ Pn with P1 applied FIRST — the
+    # list below is therefore in matrix-product order L @ D @ U'.
+    return [
+        (1, 0, one, l10),     # E10
+        (2, 0, one, l20),     # E20
+        (2, 1, one, l21),     # E21
+        (0, None, d0, None),  # S0
+        (1, None, d1, None),  # S1
+        (2, None, d2, None),  # S2
+        (0, 1, one, u01),     # E01
+        (0, 2, one, b_),      # E02
+        (1, 2, one, u12),     # E12
+    ]
+
+
+def _pass_matrix(pos, size, order):
+    """(.., I_out) sample positions -> (.., I_out, I_in) interpolation matrix
+    plus the in-bounds weight mass (for constant fill)."""
+    base = jnp.floor(pos).astype(jnp.int32)
+    t = pos - base
+    if order == 3:
+        ws, offs = _catmull_rom_w(t), (-1, 0, 1, 2)
+    else:
+        ws, offs = (1.0 - t, t), (0, 1)
+    W = jnp.zeros((*pos.shape, size), jnp.float32)
+    mass = jnp.zeros(pos.shape, jnp.float32)
+    for w, off in zip(ws, offs):
+        idx = base + off
+        valid = (idx >= 0) & (idx < size)
+        wv = jnp.where(valid, w, 0.0)
+        W = W + wv[..., None] * jax.nn.one_hot(jnp.clip(idx, 0, size - 1),
+                                               size, dtype=jnp.float32)
+        mass = mass + wv
+    return W, mass
+
+
+_PASS_SUBS = {
+    (0, 1): "yab,byxc->ayxc", (0, 2): "xab,byxc->ayxc",
+    (1, 0): "zab,zbxc->zaxc", (1, 2): "xab,zbxc->zaxc",
+    (2, 0): "zab,zybc->zyac", (2, 1): "yab,zybc->zyac",
+    (0, None): "ab,byxc->ayxc", (1, None): "ab,zbxc->zaxc",
+    (2, None): "ab,zybc->zyac",
+}
+
+
+def _shear_pass(vol, axis_i, axis_j, m, alpha, order, cval):
+    """One elementary resample of ``vol`` (Z, Y, X, C) along ``axis_i``."""
+    shape = vol.shape[:3]
+    I = shape[axis_i]
+    ci = (I - 1) / 2.0
+    pos = m * (jnp.arange(I, dtype=jnp.float32) - ci) + ci    # (I,)
+    if axis_j is not None:
+        J = shape[axis_j]
+        cj = (J - 1) / 2.0
+        pos = pos[None, :] + alpha * (jnp.arange(J, dtype=jnp.float32)
+                                      - cj)[:, None]          # (J, I)
+    W, mass = _pass_matrix(pos, I, order)
+    out = jnp.einsum(_PASS_SUBS[(axis_i, axis_j)], W, vol,
+                     precision=jax.lax.Precision.HIGHEST)
+    if cval != 0.0:
+        miss = 1.0 - mass                                     # (J, I) | (I,)
+        bshape = [1, 1, 1, 1]
+        bshape[axis_i] = I
+        if axis_j is not None:
+            bshape[axis_j] = J
+            if axis_j > axis_i:
+                miss = miss.T                                 # index as (i, j)
+        out = out + cval * miss.reshape(bshape)
+    return out
+
+
+def _warp_affine_shear(vol, mat, order, cval):
+    """Resample ``vol`` (Z, Y, X, C) at src = mat @ (dst - c) + c via shear
+    passes. Centering conjugates every pass, so the composed map is exactly
+    the centered affine with no offset bookkeeping."""
+    out = vol.astype(jnp.float32)
+    for axis_i, axis_j, m, alpha in _lu_shear_passes(mat):
+        out = _shear_pass(out, axis_i, axis_j, m, alpha, order, cval)
+    return out
+
+
 def _spatial(img, seg, key, p_rot, p_scale, angle, scale_lo, scale_hi,
              order_data):
     kd, kr, ks, km = jax.random.split(key, 4)
@@ -148,11 +268,10 @@ def _spatial(img, seg, key, p_rot, p_scale, angle, scale_lo, scale_hi,
     sc = jnp.where(do_scale, _u(ks, scale_lo, scale_hi), 1.0)
     mat = mat * sc
     fire = do_rot | do_scale
-    coords = _affine_coords(mat, img.shape[:3])
-    interp = _tricubic if order_data == 3 else _trilinear
-    img_w = jnp.stack([interp(img[..., c].astype(jnp.float32), coords, 0.0)
-                       for c in range(img.shape[-1])], axis=-1)
-    seg_w = jnp.rint(_trilinear(seg.astype(jnp.float32), coords, -1.0))
+    img_w = _warp_affine_shear(img.astype(jnp.float32), mat,
+                               order_data, 0.0)
+    seg_w = jnp.rint(_warp_affine_shear(seg.astype(jnp.float32)[..., None],
+                                        mat, 1, -1.0)[..., 0])
     img = jnp.where(fire, img_w.astype(img.dtype), img)
     seg = jnp.where(fire, seg_w.astype(seg.dtype), seg)
     return img, seg

@@ -9,8 +9,11 @@ from scipy import ndimage
 
 from segmamba_tpu.data.augment_device import (
     _affine_coords,
+    _lu_shear_passes,
+    _rotation_matrix,
     _tricubic,
     _trilinear,
+    _warp_affine_shear,
     device_augment,
 )
 
@@ -50,6 +53,82 @@ def test_cubic_reproduces_linear_ramp():
     # all 4-tap stencils must be in-bounds along every axis
     interior = np.all((c > 1.0) & (c < 10.0), axis=0)
     np.testing.assert_allclose(out[interior], exp[interior], atol=1e-4)
+
+
+def test_lu_shear_passes_reproduce_matrix():
+    rng = np.random.default_rng(4)
+    for _ in range(5):
+        mat = np.asarray(_rotation_matrix(
+            jax.random.key(int(rng.integers(1 << 30))), 0.52)) \
+            * rng.uniform(0.7, 1.4)
+        M = np.eye(3)
+        for (i, j, m, a) in _lu_shear_passes(jnp.asarray(mat)):
+            P = np.eye(3)
+            P[i, i] = float(m)
+            if j is not None:
+                P[i, j] = float(a)
+            M = M @ P
+        np.testing.assert_allclose(M, mat, atol=1e-6)
+
+
+def test_shear_warp_identity_exact():
+    rng = np.random.default_rng(5)
+    vol = jnp.asarray(rng.standard_normal((14, 14, 14, 2)), jnp.float32)
+    out = _warp_affine_shear(vol, jnp.eye(3), 3, 0.0)
+    assert float(jnp.max(jnp.abs(out - vol))) == 0.0
+
+
+def test_shear_warp_effective_matrix():
+    """Warping coordinate ramps recovers src = mat @ (dst - c) + c exactly
+    (order 1; linear interp is exact on degree-1 fields and composition
+    preserves it)."""
+    N = 17
+    mat = np.array([[0.9, 0.2, -0.1],
+                    [0.1, 1.1, 0.15],
+                    [-0.05, 0.1, 0.95]], np.float32)
+    c = (N - 1) / 2.0
+    outs = []
+    for ax in range(3):
+        shape = [1, 1, 1]
+        shape[ax] = -1
+        ramp = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.float32).reshape(shape), (N, N, N))
+        outs.append(np.asarray(_warp_affine_shear(
+            ramp[..., None], jnp.asarray(mat), 1, 0.0))[..., 0])
+    for p in [(8, 8, 8), (6, 9, 10), (10, 7, 6)]:
+        want = mat @ (np.asarray(p, np.float64) - c) + c
+        got = np.array([outs[0][p], outs[1][p], outs[2][p]])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_shear_warp_deep_interior_exact_on_ramp():
+    """Cubic shear passes reproduce a linear ramp exactly away from the
+    edge-fill band (the band is the documented delta vs one-shot warping)."""
+    N = 20
+    ramp = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.float32)[:, None, None], (N, N, N))
+    mat = np.asarray(_rotation_matrix(jax.random.key(3), 0.4)) * 1.1
+    coords = np.asarray(_affine_coords(jnp.asarray(mat, jnp.float32),
+                                       (N, N, N)))
+    out = np.asarray(_warp_affine_shear(
+        ramp[..., None], jnp.asarray(mat, jnp.float32), 3, 0.0))[..., 0]
+    interior = np.all((coords > 6) & (coords < N - 7), axis=0)
+    assert interior.sum() > 100
+    np.testing.assert_allclose(out[interior], coords[0][interior], atol=1e-4)
+
+
+def test_shear_warp_close_to_oneshot_oracle_on_blob():
+    zz, yy, xx = np.meshgrid(*[np.arange(24.0)] * 3, indexing="ij")
+    blob = np.exp(-((zz - 12) ** 2 + (yy - 10) ** 2 + (xx - 13) ** 2)
+                  / 30.0).astype(np.float32)
+    mat = np.asarray(_rotation_matrix(jax.random.key(7), 0.5)) * 0.85
+    coords = _affine_coords(jnp.asarray(mat, jnp.float32), (24, 24, 24))
+    oracle = np.asarray(_tricubic(jnp.asarray(blob), coords, 0.0))
+    got = np.asarray(_warp_affine_shear(
+        jnp.asarray(blob)[..., None], jnp.asarray(mat, jnp.float32),
+        3, 0.0))[..., 0]
+    assert np.abs(got - oracle).max() < 0.1
+    assert np.abs(got - oracle).mean() < 5e-3
 
 
 def test_chain_shapes_labels_and_fire_rate():
