@@ -77,8 +77,10 @@ def main():
 
     fwd = jax.jit(model.apply)
 
-    def predictor_fn(wins):
-        return fwd(params, wins)
+    def predictor_fn(p, wins):
+        # params arrive as a jit argument (sliding_window predictor_args) so
+        # the fused window program doesn't inline 64MB of weight constants
+        return fwd(p, wins)
 
     if args.whole_volume:
         from segmamba_tpu.infer.whole_volume import WholeVolumePredictor
@@ -93,7 +95,8 @@ def main():
         inferer = SlidingWindowInferer(tuple(args.roi),
                                        sw_batch_size=args.sw_batch_size,
                                        overlap=args.overlap, mode="gaussian")
-        predictor = Predictor(inferer, mirror_axes=tuple(args.mirror))
+        predictor = Predictor(inferer, mirror_axes=tuple(args.mirror),
+                              predictor_args=(params,))
 
     _, _, test_ds = get_train_val_test_loader_from_train(
         args.data_dir, train_rate=args.split[0], val_rate=args.split[1],

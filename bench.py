@@ -37,8 +37,10 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0), x128)
     fwd = jax.jit(model.apply)
 
-    def predictor(w):
-        return fwd(params, w)
+    def predictor(p, w):
+        # params ride as jit args (predictor_args) so the fused window
+        # program doesn't inline the weights as MLIR constants
+        return fwd(p, w)
 
     case = jnp.asarray(
         np.random.default_rng(0).standard_normal((1, 150, 180, 150, 4)),
@@ -52,11 +54,13 @@ def main():
     def fetch(o):
         return jnp.sum(o)
 
-    float(fetch(inferer(case, predictor, num_classes=4)))  # compile
+    float(fetch(inferer(case, predictor, num_classes=4,
+                        predictor_args=(params,))))  # compile
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        float(fetch(inferer(case, predictor, num_classes=4)))
+        float(fetch(inferer(case, predictor, num_classes=4,
+                            predictor_args=(params,))))
         times.append(time.perf_counter() - t0)
     sec = min(times)
     vps = 1.0 / sec

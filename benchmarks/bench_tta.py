@@ -32,15 +32,16 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0), x128)
     fwd = jax.jit(model.apply)
 
-    def predictor_fn(w):
-        return fwd(params, w)
+    def predictor_fn(p, w):
+        return fwd(p, w)
 
     case = jnp.asarray(
         np.random.default_rng(0).standard_normal((1, 150, 180, 150, 4)),
         jnp.float32)
     inferer = SlidingWindowInferer((128, 128, 128), sw_batch_size=1,
                                    overlap=0.5)
-    pred = Predictor(inferer, mirror_axes=(0, 1, 2))
+    pred = Predictor(inferer, mirror_axes=(0, 1, 2),
+                     predictor_args=(params,))
 
     @jax.jit
     def fetch(o):

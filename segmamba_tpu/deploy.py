@@ -35,11 +35,12 @@ class SegmentationAlgorithm:
 
         self.params = ckpt.restore_params(checkpoint_path)
         fwd = jax.jit(model.apply)
-        self._predict_windows = lambda w: fwd(self.params, w)
+        self._predict_windows = lambda p, w: fwd(p, w)
         inferer = SlidingWindowInferer(tuple(roi_size),
                                        sw_batch_size=sw_batch_size,
                                        overlap=overlap)
-        self.predictor = Predictor(inferer, mirror_axes=mirror_axes)
+        self.predictor = Predictor(inferer, mirror_axes=mirror_axes,
+                                   predictor_args=(self.params,))
 
     def list_cases(self):
         return sorted(

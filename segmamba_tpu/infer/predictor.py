@@ -28,9 +28,13 @@ from segmamba_tpu.infer.sliding_window import SlidingWindowInferer
 
 
 class Predictor:
-    def __init__(self, window_infer: SlidingWindowInferer, mirror_axes=(0, 1, 2)):
+    def __init__(self, window_infer: SlidingWindowInferer, mirror_axes=(0, 1, 2),
+                 predictor_args=None):
         self.window_infer = window_infer
         self.mirror_axes = tuple(mirror_axes) if mirror_axes else ()
+        # model params should ride here (as jit arguments), not inside
+        # predictor_fn closures — see sliding_window._sliding_window_jit
+        self.predictor_args = predictor_args
 
     def maybe_mirror_and_predict(self, x, predictor_fn, num_classes=None):
         """x: (1, Z, Y, X, C). Returns averaged logits (1, Z, Y, X, K).
@@ -38,14 +42,16 @@ class Predictor:
         Flip combinations follow prediction.py:125-155 (all subsets of the
         three spatial axes, averaged)."""
         spatial_axes = (1, 2, 3)  # of the (1, Z, Y, X, C) layout
-        pred = self.window_infer(x, predictor_fn, num_classes=num_classes)
+        pred = self.window_infer(x, predictor_fn, num_classes=num_classes,
+                                 predictor_args=self.predictor_args)
         n = 1
         for r in range(1, len(self.mirror_axes) + 1):
             for combo in itertools.combinations(self.mirror_axes, r):
                 axes = tuple(spatial_axes[a] for a in combo)
                 flipped = jnp.flip(x, axis=axes)
                 out = self.window_infer(flipped, predictor_fn,
-                                        num_classes=num_classes)
+                                        num_classes=num_classes,
+                                        predictor_args=self.predictor_args)
                 pred = pred + jnp.flip(out, axis=axes)
                 n += 1
         return pred / n

@@ -96,8 +96,9 @@ def _scatter_all(logits_all, starts, wmask, importance, vol_shape,
     return out / jnp.maximum(cnt, 1e-8)
 
 
-def _sliding_window_hostloop(volume, starts, wmask, importance, predictor,
-                             roi_size, sw_batch_size, num_classes):
+def _sliding_window_hostloop(volume, starts, wmask, importance, pred_args,
+                             predictor, roi_size, sw_batch_size,
+                             num_classes):
     """Python loop over window groups issuing two small device programs
     per group (gather / model forward), then ONE scatter program over all
     collected logits. The split is forced where jit programs travel a
@@ -113,21 +114,49 @@ def _sliding_window_hostloop(volume, starts, wmask, importance, predictor,
     for g in range(starts.shape[0]):
         s = jnp.asarray(starts[g])
         wins = _gather_group(volume, s, roi_size)
-        logits.append(predictor(wins).astype(jnp.float32))
+        logits.append(predictor(*pred_args, wins).astype(jnp.float32))
     return _scatter_all(jnp.stack(logits), jnp.asarray(starts),
                         jnp.asarray(wmask), imp, (Z, Y, X), sw_batch_size)
 
 
+def _importance_device(roi_size, mode, dtype=jnp.float32):
+    """Build the blending map IN-GRAPH (separable outer product) so the fused
+    program does not carry an 8MB roi-sized array as an input — the remote-
+    compile hop this container tunnels through caps the request size, and
+    the request scales with the program's argument/result buffers."""
+    if mode != "gaussian":
+        return jnp.ones((*roi_size, 1), dtype)
+    axes = []
+    for s in roi_size:
+        center = (s - 1) / 2.0
+        sigma = max(s * 0.125, 1e-3)
+        x = jnp.arange(s, dtype=jnp.float32)
+        axes.append(jnp.exp(-0.5 * ((x - center) / sigma) ** 2))
+    m = (axes[0][:, None, None] * axes[1][None, :, None]
+         * axes[2][None, None, :])
+    m = jnp.maximum(m / jnp.max(m), 1e-6)  # same floor as the host build
+    return m.astype(dtype)[..., None]
+
+
 @functools.partial(jax.jit, static_argnames=("predictor", "roi_size",
-                                             "sw_batch_size", "num_classes"))
-def _sliding_window_jit(volume, starts, wmask, importance, predictor,
-                        roi_size, sw_batch_size, num_classes):
-    """volume: (Z, Y, X, C); starts: (n_groups, sw, 3); wmask same leading."""
+                                             "sw_batch_size", "num_classes",
+                                             "mode"))
+def _sliding_window_jit(volume, starts, wmask, pred_args, predictor,
+                        roi_size, sw_batch_size, num_classes,
+                        mode="gaussian"):
+    """volume: (Z, Y, X, C); starts: (n_groups, sw, 3); wmask same leading.
+
+    ``pred_args`` (e.g. model params) MUST ride as jit arguments here, not
+    as ``predictor`` closure captures: traced closure arrays lower into the
+    program as dense MLIR constants — ~64MB of weights inlined into the
+    module — which blows past the size cap of remote-compile hops (HTTP
+    413) and bloats compile cache keys. As arguments they are just entry
+    parameters."""
     Z, Y, X, _ = volume.shape
     rz, ry, rx = roi_size
     out = jnp.zeros((Z, Y, X, num_classes), jnp.float32)
     cnt = jnp.zeros((Z, Y, X, 1), jnp.float32)
-    imp = importance.astype(jnp.float32)[..., None]  # (rz, ry, rx, 1)
+    imp = _importance_device(roi_size, mode)         # (rz, ry, rx, 1)
 
     def gather(s):
         return lax.dynamic_slice(
@@ -138,7 +167,7 @@ def _sliding_window_jit(volume, starts, wmask, importance, predictor,
         out, cnt = carry
         s, m = group                       # (sw, 3), (sw,)
         wins = jax.vmap(gather)(s)         # (sw, rz, ry, rx, C)
-        logits = predictor(wins).astype(jnp.float32)
+        logits = predictor(*pred_args, wins).astype(jnp.float32)
         w = imp[None] * m[:, None, None, None, None]
         contrib = logits * w
         for i in range(sw_batch_size):
@@ -155,7 +184,8 @@ def _sliding_window_jit(volume, starts, wmask, importance, predictor,
 
 def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
                              sw_batch_size=2, num_classes=None, bucket=32,
-                             mode="gaussian", host_loop=None):
+                             mode="gaussian", host_loop=None,
+                             compute_dtype=None, predictor_args=None):
     """Gaussian-blended sliding-window prediction.
 
     Args:
@@ -165,6 +195,15 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
       predictor: callable (B, *roi, C) -> (B, *roi, K) logits (jit-traceable).
       bucket:    volumes are zero-padded up to multiples of this so that jit
                  compiles are shared across similarly-sized cases.
+      compute_dtype: optional dtype the device volume is cast to (e.g.
+                 ``jnp.bfloat16`` when the predictor computes in bf16 anyway
+                 — halves the fused program's input bytes, which matters on
+                 size-capped remote-compile hops). Blending stays f32.
+      predictor_args: optional tuple prepended to each predictor call
+                 (``predictor(*predictor_args, windows)``). Pass model
+                 params HERE rather than closing over them — closure arrays
+                 are inlined into the fused program as dense constants (see
+                 ``_sliding_window_jit``).
     Returns:
       (1, Z, Y, X, K) blended logits, original (unpadded) size.
     """
@@ -195,21 +234,33 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
     starts = starts.reshape(-1, sw, 3)
     wmask = wmask.reshape(-1, sw)
 
+    pred_args = tuple(predictor_args) if predictor_args is not None else ()
     imp = (gaussian_importance_map(roi_size) if mode == "gaussian"
            else np.ones(roi_size, np.float32))
     if num_classes is None:
-        probe = predictor(jnp.zeros((1, *roi_size, C), jnp.float32))
+        probe = jax.eval_shape(
+            lambda *a: predictor(*a, jnp.zeros((1, *roi_size, C),
+                                               jnp.float32)), *pred_args)
         num_classes = probe.shape[-1]
-    if host_loop is None:
-        # single fused program is preferable, but remote-compile hops with
-        # bounded request sizes (this container's relay) need per-group jits
-        import os
-        host_loop = (jax.default_backend() == "tpu"
-                     and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1")
-    runner = _sliding_window_hostloop if host_loop else _sliding_window_jit
-    out = runner(vol, jnp.asarray(starts), jnp.asarray(wmask),
-                 jnp.asarray(imp), predictor, roi_size, sw,
-                 int(num_classes))
+    if compute_dtype is not None:
+        vol = vol.astype(compute_dtype)
+    hostloop_args = (vol, jnp.asarray(starts), jnp.asarray(wmask),
+                     jnp.asarray(imp), pred_args, predictor, roi_size, sw,
+                     int(num_classes))
+    if host_loop:
+        out = _sliding_window_hostloop(*hostloop_args)
+    else:
+        try:
+            out = _sliding_window_jit(
+                vol, jnp.asarray(starts), jnp.asarray(wmask), pred_args,
+                predictor, roi_size, sw, int(num_classes), mode)
+        except jax.errors.JaxRuntimeError as e:
+            if host_loop is False or "413" not in str(e):
+                raise
+            # remote-compile hop rejected the fused program (request-size
+            # cap); fall back to per-group programs. Passing params via
+            # predictor_args (not closures) usually avoids this.
+            out = _sliding_window_hostloop(*hostloop_args)
     out = out[:Z, :Y, :X]
     return out if squeeze else out[None]
 
@@ -219,7 +270,7 @@ class SlidingWindowInferer:
     (3_train.py:35-37, 4_predict.py:55-58)."""
 
     def __init__(self, roi_size, sw_batch_size=2, overlap=0.5,
-                 mode="gaussian", bucket=32):
+                 mode="gaussian", bucket=32, compute_dtype=None):
         if mode not in ("gaussian", "constant"):
             raise ValueError(f"unknown blend mode {mode!r}")
         self.roi_size = tuple(roi_size)
@@ -227,9 +278,12 @@ class SlidingWindowInferer:
         self.overlap = overlap
         self.mode = mode
         self.bucket = bucket
+        self.compute_dtype = compute_dtype
 
-    def __call__(self, volume, predictor, num_classes=None):
+    def __call__(self, volume, predictor, num_classes=None,
+                 predictor_args=None):
         return sliding_window_inference(
             volume, self.roi_size, predictor, overlap=self.overlap,
             sw_batch_size=self.sw_batch_size, num_classes=num_classes,
-            bucket=self.bucket, mode=self.mode)
+            bucket=self.bucket, mode=self.mode,
+            compute_dtype=self.compute_dtype, predictor_args=predictor_args)

@@ -50,17 +50,63 @@ def pad_to_multiple(volume, multiple=16):
     return jnp.pad(volume, pads), (Z, Y, X)
 
 
-def whole_volume_inference(model, params, volume, multiple=16):
+def nonzero_bbox(volume, multiple=16, margin=0):
+    """Bounding box of nonzero voxels (any channel), grown by ``margin`` and
+    rounded up to ``multiple``-sized extents (bounds compile count — the box
+    size, not its position, determines the program shape). Returns
+    ((z0, z1), (y0, y1), (x0, x1)) in original coordinates."""
+    mask = np.asarray(jnp.any(jnp.abs(volume[0]) > 0, axis=-1))
+    _, Z, Y, X, _ = volume.shape
+    bounds = []
+    for ax, dim in zip(range(3), (Z, Y, X)):
+        proj = mask.any(axis=tuple(d for d in range(3) if d != ax))
+        nz = np.flatnonzero(proj)
+        if nz.size == 0:
+            bounds.append((0, dim))
+            continue
+        lo = max(0, int(nz[0]) - margin)
+        hi = min(dim, int(nz[-1]) + 1 + margin)
+        ext = min(dim, int(math.ceil((hi - lo) / multiple) * multiple))
+        lo = max(0, min(lo, dim - ext))     # slide the box, keep the extent
+        bounds.append((lo, lo + ext))
+    return tuple(bounds)
+
+
+def whole_volume_inference(model, params, volume, multiple=16,
+                           crop_to_nonzero=True, background_logit=20.0):
     """Single forward over the whole (1, Z, Y, X, C) volume.
+
+    ``crop_to_nonzero`` first restricts the forward to the nonzero bounding
+    box (the skull-stripped BraTS brain occupies ~40% of the scanner frame;
+    the scans are linear-time, so shrinking the token count shrinks device
+    time proportionally) and pastes the logits back, with the background
+    class pinned outside the box — the same semantics the Predictor's
+    inverse-crop gives a sliding-window segmentation.
 
     Returns logits (1, Z, Y, X, K) at the original (unpadded) size.
     """
+    _, Z0, Y0, X0, _ = volume.shape
+    box = None
+    if crop_to_nonzero:
+        box = nonzero_bbox(volume, multiple)
+        (z0, z1), (y0, y1), (x0, x1) = box
+        if (z1 - z0, y1 - y0, x1 - x0) == (Z0, Y0, X0):
+            box = None
+        else:
+            volume = volume[:, z0:z1, y0:y1, x0:x1]
     padded, (Z, Y, X) = pad_to_multiple(volume, multiple)
     spatial = padded.shape[1:4]
     wv_model = dataclasses.replace(
         model, num_slices_list=num_slices_for_shape(spatial))
-    logits = jax.jit(wv_model.apply)(params, padded)
-    return logits[:, :Z, :Y, :X]
+    logits = jax.jit(wv_model.apply)(params, padded)[:, :Z, :Y, :X]
+    if box is None:
+        return logits
+    (z0, z1), (y0, y1), (x0, x1) = box
+    K = logits.shape[-1]
+    bg = jnp.zeros((K,), logits.dtype).at[0].set(
+        jnp.asarray(background_logit, logits.dtype))
+    full = jnp.broadcast_to(bg, (1, Z0, Y0, X0, K))
+    return jax.lax.dynamic_update_slice(full, logits, (0, z0, y0, x0, 0))
 
 
 class WholeVolumePredictor:

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from segmamba_tpu.infer.whole_volume import (
     WholeVolumePredictor,
+    nonzero_bbox,
     num_slices_for_shape,
     pad_to_multiple,
     whole_volume_inference,
@@ -62,6 +63,51 @@ def test_whole_volume_ragged_shape():
     pred = WholeVolumePredictor(model, params, mirror_axes=(0,))
     tta = pred.maybe_mirror_and_predict(x)
     assert tta.shape == (1, 20, 22, 24, 3)
+
+
+def test_nonzero_bbox():
+    v = np.zeros((1, 40, 48, 40, 2), np.float32)
+    v[0, 10:26, 7:30, 5:21] = 1.0
+    box = nonzero_bbox(jnp.asarray(v), multiple=16)
+    (z0, z1), (y0, y1), (x0, x1) = box
+    # extents rounded up to 16 and the box covers the support
+    assert (z1 - z0) % 16 == 0 and (y1 - y0) % 16 == 0 and (x1 - x0) % 16 == 0
+    assert z0 <= 10 and z1 >= 26 and y0 <= 7 and y1 >= 30
+    assert x0 <= 5 and x1 >= 21
+    # extent never exceeds the volume
+    full = nonzero_bbox(jnp.asarray(np.ones((1, 20, 20, 20, 1))), multiple=16)
+    assert full == ((0, 20), (0, 20), (0, 20))
+    # all-zero volume falls back to the full frame
+    empty = nonzero_bbox(jnp.asarray(np.zeros((1, 20, 20, 20, 1))))
+    assert empty == ((0, 20), (0, 20), (0, 20))
+
+
+def test_whole_volume_crop_to_nonzero_matches_inside_and_bg_outside():
+    """With a compact nonzero support, the cropped single shot must equal
+    the uncropped forward inside the box region it computed, and argmax to
+    background outside."""
+    model = SegMamba(**TINY)
+    rng = np.random.default_rng(2)
+    x16 = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)), jnp.float32)
+    params = model.init(jax.random.key(0), x16)
+    vol = np.zeros((1, 32, 48, 32, 2), np.float32)
+    vol[0, 8:24, 16:32, 8:24] = rng.standard_normal((16, 16, 16, 2))
+    vol = jnp.asarray(vol)
+    out = whole_volume_inference(model, params, vol, multiple=16,
+                                 crop_to_nonzero=True)
+    assert out.shape == (1, 32, 48, 32, 3)
+    box = nonzero_bbox(vol, 16)
+    (z0, z1), (y0, y1), (x0, x1) = box
+    ref = whole_volume_inference(model, params,
+                                 vol[:, z0:z1, y0:y1, x0:x1],
+                                 multiple=16, crop_to_nonzero=False)
+    np.testing.assert_allclose(
+        np.asarray(out[:, z0:z1, y0:y1, x0:x1]), np.asarray(ref),
+        rtol=1e-5, atol=1e-6)
+    seg = np.argmax(np.asarray(out[0]), axis=-1)
+    outside = np.ones(seg.shape, bool)
+    outside[z0:z1, y0:y1, x0:x1] = False
+    assert (seg[outside] == 0).all()
 
 
 def test_sequential_shards_and_concat():
