@@ -198,3 +198,23 @@ def test_trainer_device_augment_mode():
     from segmamba_tpu.train.trainer import _pick_transform
 
     assert _pick_transform("device") is None
+
+
+def test_prefetch_yields_device_arrays_and_propagates_errors():
+    from segmamba_tpu.train.trainer import _prefetch
+
+    batches = [{"image": np.ones((2, 4)), "label": np.zeros((2,)),
+                "name": ["a", "b"]} for _ in range(3)]
+    out = list(_prefetch(iter(batches)))
+    assert len(out) == 3
+    assert isinstance(out[0]["image"], jax.Array)
+    assert out[0]["name"] == ["a", "b"]          # non-arrays pass through
+
+    def bad():
+        yield batches[0]
+        raise RuntimeError("loader died")
+
+    it = _prefetch(bad())
+    next(it)
+    with pytest.raises(RuntimeError, match="loader died"):
+        list(it)
