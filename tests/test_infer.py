@@ -72,6 +72,28 @@ def test_sliding_window_matches_direct_forward():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_and_hostloop_paths_agree():
+    """The single fused program and the per-group host-loop split must give
+    identical blended logits — including odd window counts (padded group
+    masked by wmask) and params passed via predictor_args."""
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.standard_normal((1, 40, 24, 24, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 5)), jnp.float32)
+
+    def linear(wgt, wins):
+        return jnp.einsum("bzyxc,ck->bzyxk", wins, wgt) + 0.1
+
+    # overlap .5 / roi 16 on the 40-dim -> 4 starts x 2 x 2 = 16 windows;
+    # sw_batch 3 forces a padded final group (wmask path)
+    kw = dict(overlap=0.5, sw_batch_size=3, bucket=8, predictor_args=(w,))
+    fused = sliding_window_inference(vol, (16, 16, 16), linear,
+                                     host_loop=False, **kw)
+    hostl = sliding_window_inference(vol, (16, 16, 16), linear,
+                                     host_loop=True, **kw)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(hostl),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_mirror_tta_symmetric_predictor():
     """A flip-equivariant predictor makes TTA a no-op."""
     rng = np.random.default_rng(2)
