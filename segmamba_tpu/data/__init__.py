@@ -22,6 +22,7 @@ from segmamba_tpu.data.dataset import (
 )
 from segmamba_tpu.data.patch_sampler import PatchSampler
 from segmamba_tpu.data.loader import DataLoader
+from segmamba_tpu.data.sdm_edge import SdmEdgeDataset, precompute_sdm
 
 __all__ = [
     "read_nifti",
@@ -36,4 +37,6 @@ __all__ = [
     "unpack_dataset",
     "PatchSampler",
     "DataLoader",
+    "SdmEdgeDataset",
+    "precompute_sdm",
 ]
