@@ -106,6 +106,13 @@ class MambaV3(nn.Module):
     mesh: object = None
     seq_axis: str = "seq"
     batch_axis: str | None = None
+    # tensor parallelism: when ``model_axis`` names an axis of ``mesh``, the
+    # inner channel dim (d_inner) is sharded over it — parameters via
+    # parallel/tp.py NamedShardings, activations via the constraints below;
+    # GSPMD inserts the two matmul reductions (x_proj, out_proj). Use the
+    # jnp scan cores (scan_impl="chunked"/"ref") with TP: a Pallas kernel is
+    # a single-device program and would force operand gathers.
+    model_axis: str | None = None
 
     def _direction_params(self, suffix, d_inner, dt_rank):
         """One parameter set (conv, x_proj, dt_proj, A_log, D) per direction,
@@ -135,7 +142,7 @@ class MambaV3(nn.Module):
         D = self.param(f"D{suffix}", nn.initializers.ones, (d_inner,))
         return conv_w, conv_b, x_proj, dt_proj, dt_bias, A_log, D
 
-    def _run_direction(self, xz, params):
+    def _run_direction(self, xz, params, impl=None):
         conv_w, conv_b, x_proj, dt_proj, dt_bias, A_log, D = params
         A = -jnp.exp(A_log.astype(jnp.float32))
         return mamba_inner(
@@ -143,7 +150,7 @@ class MambaV3(nn.Module):
             None if conv_b is None else conv_b.astype(self.dtype),
             x_proj.astype(self.dtype), dt_proj.astype(self.dtype),
             dt_bias.astype(jnp.float32), A, D.astype(jnp.float32),
-            d_state=self.d_state, impl=self.scan_impl,
+            d_state=self.d_state, impl=impl or self.scan_impl,
             chunk_size=self.scan_chunk)
 
     def _run_direction_sharded(self, xz, params, reverse, batch_axis):
@@ -295,18 +302,30 @@ class MambaV3(nn.Module):
         # conv window of tokens; tiny deep stages fall back to the local path
         use_sp = False
         sp_batch_axis = self.batch_axis
+        use_tp = False
         if self.mesh is not None:
             axis_size = dict(zip(self.mesh.axis_names,
                                  self.mesh.devices.shape))
-            n_seq = axis_size[self.seq_axis]
-            use_sp = L % n_seq == 0 and L // n_seq >= self.d_conv
+            n_seq = axis_size.get(self.seq_axis)
+            use_sp = (n_seq is not None and L % n_seq == 0
+                      and L // n_seq >= self.d_conv)
             # init/odd-batch traces: drop the batch axis when it doesn't
             # divide (the seq sharding alone is still exact)
             if (sp_batch_axis is not None
-                    and b % axis_size[sp_batch_axis] != 0):
+                    and b % axis_size.get(sp_batch_axis, 1) != 0):
                 sp_batch_axis = None
-        use_dir = not use_sp and self.scan_impl == "dir"
-        use_batched = (not use_sp and not use_dir
+            use_tp = (not use_sp and self.model_axis in axis_size
+                      and d_inner % axis_size[self.model_axis] == 0)
+        if use_tp:
+            from jax.sharding import NamedSharding, PartitionSpec as TP_P
+
+            _tp_act = lambda a: jax.lax.with_sharding_constraint(
+                a, NamedSharding(self.mesh,
+                                 TP_P(self.batch_axis, None,
+                                      self.model_axis)))
+            xz = _tp_act(xz)
+        use_dir = not use_sp and not use_tp and self.scan_impl == "dir"
+        use_batched = (not use_sp and not use_dir and not use_tp
                        and (self.scan_impl == "fused"
                             or (self.scan_impl in ("auto", "pallas")
                                 and jax.default_backend() == "tpu")))
@@ -341,14 +360,19 @@ class MambaV3(nn.Module):
             if use_slice:
                 combined = combined + slice_deinterleave(out3[2], nslices)
         else:
-            out = self._run_direction(xz, p_f)
-            out_b = self._run_direction(jnp.flip(xz, axis=1), p_b)
+            # under TP, keep to the GSPMD-shardable jnp cores (see tp.py)
+            impl = ("chunked" if use_tp and self.scan_impl
+                    in ("auto", "pallas", "fused", "dir") else None)
+            out = self._run_direction(xz, p_f, impl)
+            out_b = self._run_direction(jnp.flip(xz, axis=1), p_b, impl)
             combined = out + jnp.flip(out_b, axis=1)
             if use_slice:
                 out_s = self._run_direction(slice_interleave(xz, nslices),
-                                            p_s)
+                                            p_s, impl)
                 combined = combined + slice_deinterleave(out_s, nslices)
 
+        if use_tp:
+            combined = _tp_act(combined)
         out_proj = self.param("out_proj", torch_kaiming_uniform(d_inner),
                               (d_inner, self.d_model))
         y = jnp.einsum("bld,de->ble", combined, out_proj.astype(self.dtype))

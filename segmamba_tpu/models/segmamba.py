@@ -51,6 +51,7 @@ class MambaLayer(nn.Module):
     mesh: object = None          # sequence-parallel mesh (see MambaV3)
     seq_axis: str = "seq"
     batch_axis: str | None = None
+    model_axis: str | None = None  # tensor-parallel axis (see parallel/tp.py)
 
     @nn.compact
     def __call__(self, x):
@@ -67,8 +68,29 @@ class MambaLayer(nn.Module):
             expand=self.expand, nslices=self.num_slices,
             scan_impl=self.scan_impl, dtype=self.dtype, mesh=self.mesh,
             seq_axis=self.seq_axis, batch_axis=self.batch_axis,
-            name="mamba")(x_norm)
-        return x_mamba.reshape(b, *spatial, c) + x
+            model_axis=self.model_axis, name="mamba")(x_norm)
+        out = x_mamba.reshape(b, *spatial, c) + x
+        if self.mesh is not None and self.seq_axis in self.mesh.axis_names:
+            # Un-shard the token dim at the layer boundary. Leaving the
+            # activation seq-sharded lets downstream stride-2 stages shrink
+            # the z-dim below the seq-axis size; the resulting padded/uneven
+            # shardings trip an XLA SPMD partitioner bug in the BACKWARD
+            # pass ("Involuntary full rematerialization" + add_any joins):
+            # measured grads 1.2-3x off on an 8-device ("data","seq") mesh
+            # with stride-2 chains after an SP layer, forward exact. The
+            # glue between Mamba layers is conv-local and cheap, so batch-
+            # only sharding outside the layer costs little.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis_size = dict(zip(self.mesh.axis_names,
+                                 self.mesh.devices.shape))
+            baxis = (self.batch_axis if self.batch_axis is not None
+                     and b % axis_size.get(self.batch_axis, 1) == 0
+                     else None)
+            spec = PartitionSpec(baxis, *(None,) * (out.ndim - 1))
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(self.mesh, spec))
+        return out
 
 
 class MlpChannel(nn.Module):
@@ -120,6 +142,7 @@ class MambaEncoder(nn.Module):
     mesh: object = None          # sequence-parallel mesh (see MambaV3)
     seq_axis: str = "seq"
     batch_axis: str | None = None
+    model_axis: str | None = None  # tensor-parallel axis (see parallel/tp.py)
 
     @nn.compact
     def __call__(self, x):
@@ -141,7 +164,7 @@ class MambaEncoder(nn.Module):
                     dim=self.dims[i], num_slices=self.num_slices_list[i],
                     scan_impl=self.scan_impl, dtype=self.dtype,
                     mesh=self.mesh, seq_axis=self.seq_axis,
-                    batch_axis=self.batch_axis,
+                    batch_axis=self.batch_axis, model_axis=self.model_axis,
                     name=f"stage{i}_block{j}")(x)
             if i in self.out_indices:
                 h = instance_norm(x)
@@ -171,6 +194,7 @@ class SegMamba(nn.Module):
     mesh: object = None          # sequence-parallel mesh (see MambaV3)
     seq_axis: str = "seq"
     batch_axis: str | None = None
+    model_axis: str | None = None  # tensor-parallel axis (see parallel/tp.py)
 
     @nn.compact
     def __call__(self, x_in):
@@ -185,19 +209,43 @@ class SegMamba(nn.Module):
             num_slices_list=self.num_slices_list, scan_impl=self.scan_impl,
             remat=self.remat, dtype=self.dtype, mesh=self.mesh,
             seq_axis=self.seq_axis, batch_axis=self.batch_axis,
-            name="vit")(x_in)
+            model_axis=self.model_axis, name="vit")(x_in)
 
-        enc1 = basic(f[0], dtype=self.dtype, name="encoder1")(x_in)
-        enc2 = basic(f[1], dtype=self.dtype, name="encoder2")(outs[0])
-        enc3 = basic(f[2], dtype=self.dtype, name="encoder3")(outs[1])
-        enc4 = basic(f[3], dtype=self.dtype, name="encoder4")(outs[2])
-        enc_hidden = basic(self.hidden_size, dtype=self.dtype,
-                           name="encoder5")(outs[3])
+        if self.mesh is not None and self.seq_axis in self.mesh.axis_names:
+            # Pin every block boundary to batch-only sharding. Sequence
+            # shardings must stay INSIDE the Mamba layers: if GSPMD
+            # propagates them into the stride-2 decoder (it does, through
+            # the backward graph), small spatial dims get padded/uneven
+            # shardings that trip an XLA SPMD partitioner bug in the
+            # gradient accumulation (see MambaLayer boundary note).
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        dec3 = up(f[3], dtype=self.dtype, name="decoder5")(enc_hidden, enc4)
-        dec2 = up(f[2], dtype=self.dtype, name="decoder4")(dec3, enc3)
-        dec1 = up(f[1], dtype=self.dtype, name="decoder3")(dec2, enc2)
-        dec0 = up(f[0], dtype=self.dtype, name="decoder2")(dec1, enc1)
-        out = basic(f[0], dtype=self.dtype, name="decoder1")(dec0)
+            axis_size = dict(zip(self.mesh.axis_names,
+                                 self.mesh.devices.shape))
+            b = x_in.shape[0]
+            baxis = (self.batch_axis if self.batch_axis is not None
+                     and b % axis_size.get(self.batch_axis, 1) == 0
+                     else None)
+
+            def pin(a):
+                spec = PartitionSpec(baxis, *(None,) * (a.ndim - 1))
+                return jax.lax.with_sharding_constraint(
+                    a, NamedSharding(self.mesh, spec))
+        else:
+            pin = lambda a: a
+
+        enc1 = pin(basic(f[0], dtype=self.dtype, name="encoder1")(x_in))
+        enc2 = pin(basic(f[1], dtype=self.dtype, name="encoder2")(outs[0]))
+        enc3 = pin(basic(f[2], dtype=self.dtype, name="encoder3")(outs[1]))
+        enc4 = pin(basic(f[3], dtype=self.dtype, name="encoder4")(outs[2]))
+        enc_hidden = pin(basic(self.hidden_size, dtype=self.dtype,
+                               name="encoder5")(outs[3]))
+
+        dec3 = pin(up(f[3], dtype=self.dtype, name="decoder5")(enc_hidden,
+                                                               enc4))
+        dec2 = pin(up(f[2], dtype=self.dtype, name="decoder4")(dec3, enc3))
+        dec1 = pin(up(f[1], dtype=self.dtype, name="decoder3")(dec2, enc2))
+        dec0 = pin(up(f[0], dtype=self.dtype, name="decoder2")(dec1, enc1))
+        out = pin(basic(f[0], dtype=self.dtype, name="decoder1")(dec0))
         logits = UnetOutBlock(self.out_chans, dtype=self.dtype, name="out")(out)
-        return logits.astype(jnp.float32)
+        return pin(logits.astype(jnp.float32))

@@ -32,11 +32,25 @@ from segmamba_tpu.ops.selective_scan import (
 )
 
 
-def _shard_map(fn, mesh, in_specs, out_specs):
+def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None):
+    """shard_map manual over ``axis_names`` ONLY (the axes the specs use).
+
+    Claiming the whole mesh as manual while the surrounding jit program is
+    GSPMD-sharded over the unused axes corrupts the backward pass: the
+    transpose assumes P()-replication over the unused axis, but the
+    downstream cotangent arrives sharded over it, and the partial cotangent
+    of one shard is silently taken for the full one (measured: full-model
+    grads 1.7x-8x off on a ("data","seq") mesh with specs using only
+    "seq"). Restricting the manual set leaves the other axes to GSPMD,
+    which inserts the correct collectives around the manual region.
+    """
+    kwargs = {}
+    if axis_names is not None:
+        kwargs["axis_names"] = set(axis_names)
     try:
         return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs)
-    except AttributeError:  # older jax
+                             out_specs=out_specs, **kwargs)
+    except (AttributeError, TypeError):  # older jax: whole mesh is manual
         from jax.experimental.shard_map import shard_map
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs)
@@ -146,11 +160,12 @@ def selective_scan_sharded(u, delta, A, B, C, D=None, z=None, delta_bias=None,
         return _postprocess(y, u, D_skip if has_d else None,
                             z if has_z else None, u.dtype)
 
+    manual = {seq_axis} | ({batch_axis} if batch_axis else set())
     fn = _shard_map(
         local_fn, mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, seq_spec, P(), P(), P(),
                   seq_spec),
-        out_specs=seq_spec)
+        out_specs=seq_spec, axis_names=manual)
     dim = u.shape[-1]
     return fn(u, delta, B, C, A,
               D if has_d else jnp.zeros(dim, jnp.float32),
@@ -205,9 +220,10 @@ def mamba_inner_sharded(xz, conv_weight, conv_bias, x_proj, dt_proj, dt_bias,
         out = _postprocess(y, x, D_, zgate, xz.dtype)
         return jnp.flip(out, axis=1) if reverse else out
 
+    manual = {seq_axis} | ({batch_axis} if batch_axis else set())
     fn = _shard_map(local_fn, mesh,
                     in_specs=(seq_spec, P(), P(), P(), P(), P(), P(), P()),
-                    out_specs=seq_spec)
+                    out_specs=seq_spec, axis_names=manual)
     from jax.sharding import NamedSharding
     rep = NamedSharding(mesh, P())
     cb = (conv_bias if conv_bias is not None

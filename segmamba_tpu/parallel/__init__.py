@@ -13,5 +13,7 @@ from segmamba_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from segmamba_tpu.parallel.tp import tp_shard, tp_specs
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch"]
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch",
+           "tp_shard", "tp_specs"]

@@ -42,12 +42,20 @@ def default_optimizer(learning_rate, grad_clip: float = 12.0,
 
 
 def create_train_state(model, rng, sample_x, learning_rate=1e-2,
-                       optimizer=None, mesh=None) -> TrainState:
+                       optimizer=None, mesh=None,
+                       model_axis=None) -> TrainState:
+    """``model_axis``: when it names an axis of ``mesh``, Mamba-inner
+    params (and their optimizer momentum) are sharded over it —
+    tensor parallelism via parallel/tp.py; everything else replicates."""
     params = jax.jit(model.init)(rng, sample_x)
     tx = optimizer if optimizer is not None else default_optimizer(learning_rate)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     if mesh is not None:
-        state = jax.device_put(state, replicated(mesh))
+        if model_axis is not None:
+            from segmamba_tpu.parallel.tp import tp_shard
+            state = tp_shard(state, mesh, model_axis)
+        else:
+            state = jax.device_put(state, replicated(mesh))
     return state
 
 

@@ -188,3 +188,48 @@ def test_sharded_scan_grad(seq_mesh):
     g2 = jax.grad(loss_ref)(u)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-3,
                                atol=5e-4)
+
+
+def test_full_model_sp_grads_on_2d_mesh():
+    """Full SegMamba gradients under DP x SP must match the unsharded step.
+
+    Regression test for an XLA SPMD partitioner bug: when the seq-sharded
+    activation leaving a Mamba layer propagates into the stride-2 encoder/
+    decoder stages, spatial dims shrink below the seq-axis size and the
+    padded/uneven shardings corrupt the gradient accumulation (grad norms
+    measured 2x off; forward exact). SegMamba/MambaLayer now pin block
+    boundaries to batch-only sharding, keeping seq shardings inside the
+    Mamba layers.
+    """
+    import optax
+
+    from segmamba_tpu.models import SegMamba
+    from segmamba_tpu.train.losses import cross_entropy_loss
+
+    kw = dict(in_chans=2, out_chans=3, depths=(1, 1, 1, 1),
+              feat_size=(4, 8, 16, 32), hidden_size=64,
+              num_slices_list=(8, 4, 2, 1), scan_impl="chunked")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 16, 2)), jnp.float32)
+    y = jnp.zeros((2, 16, 16, 16), jnp.int32)
+
+    ref = SegMamba(**kw)
+    params = jax.jit(ref.init)(jax.random.key(0), x[:1])
+    g_ref = jax.jit(jax.grad(
+        lambda p: cross_entropy_loss(ref.apply(p, x), y)))(params)
+
+    mesh = make_mesh(8, ("data", "seq"), shape=(2, 4))
+    sp = SegMamba(**kw, mesh=mesh, seq_axis="seq", batch_axis="data")
+    g_sp = jax.jit(jax.grad(
+        lambda p: cross_entropy_loss(sp.apply(p, x), y)))(params)
+
+    n_ref = float(optax.global_norm(g_ref))
+    n_sp = float(optax.global_norm(g_sp))
+    assert n_sp == pytest.approx(n_ref, rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        # absolute tolerance scaled to the leaf: near-cancelling leaves
+        # (e.g. conv biases ahead of instance norm) are pure float noise
+        tol = 1e-3 * max(float(np.max(np.abs(b))), 1e-2)
+        np.testing.assert_allclose(a, b, atol=tol, rtol=5e-3)
