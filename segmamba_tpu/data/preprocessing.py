@@ -95,6 +95,18 @@ def ct_normalize(image, a_min, a_max, b_min=0.0, b_max=1.0, clip=True):
     return image
 
 
+def ct_znorm_from_stats(image, seg=None, *, a_min, a_max, mean, std):
+    """nnU-Net ``CTNormalization``: clip to the dataset-plan percentile
+    window [p0.5, p99.5] then z-score with the DATASET foreground mean/std
+    (not per-volume stats; default_normalization_schemes.py:82-94). The four
+    parameters come from the plan's ``intensity_statistics_per_channel``
+    (``planning.ct_norm_params_from_plan``)."""
+    del seg
+    image = image.astype(np.float32)
+    image = np.clip(image, a_min, a_max)
+    return (image - mean) / max(std, 1e-8)
+
+
 def rescale_01(image):
     """Min-max rescale (Rescale01, :105-117)."""
     image = image.astype(np.float32)
@@ -178,11 +190,10 @@ def resample_to_shape(data, new_shape, current_spacing=None, is_seg=False,
             moved = np.moveaxis(chan, axis, 0)
             plane_shape = tuple(np.delete(new_shape, axis))
             planes = np.stack([
-                resample_one(sl[None], plane_shape, order)[0]
+                resample_one(sl, plane_shape, order)
                 for sl in moved], axis=0)
             planes = np.moveaxis(planes, 0, axis)
-            out[c] = resample_one(planes[None], new_shape,
-                                  order_z)[0]
+            out[c] = resample_one(planes, new_shape, order_z)
         else:
             out[c] = resample_one(chan, new_shape, order)
     return out

@@ -78,6 +78,30 @@ def test_resample_seg_preserves_labels():
     assert out.shape == (1, 16, 16, 16)
 
 
+def test_resample_separate_z_anisotropic():
+    """Anisotropy ratio > 3 takes the separate-z path (in-plane order-3 +
+    low-res axis order-0, default_resampling.py:126-217). Regression: this
+    branch passed rank-3 slices against rank-2 target shapes and crashed on
+    any anisotropic dataset (e.g. the liver2017 recipe)."""
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal((2, 10, 16, 16)).astype(np.float32)
+    # z spacing 4.0 vs 1.0 in-plane -> ratio 4 > 3 -> separate-z, axis 0
+    out = resample_to_shape(img, (40, 16, 16), (4.0, 1.0, 1.0), order=3,
+                            order_z=0)
+    assert out.shape == (2, 40, 16, 16)
+    # order-0 along z: planes are replicated, so every output z-slab of 4
+    # equals one input plane's in-plane result (which here is identity)
+    np.testing.assert_allclose(out[:, 0], out[:, 1])
+    np.testing.assert_allclose(out[0, 0], img[0, 0], atol=1e-5)
+    # seg variant down the same path keeps integer labels
+    seg = np.zeros((1, 10, 16, 16), np.float32)
+    seg[0, 3:7, 4:12, 4:12] = 2
+    sout = resample_to_shape(seg, (40, 16, 16), (4.0, 1.0, 1.0), is_seg=True,
+                             order=1)
+    assert sout.shape == (1, 40, 16, 16)
+    assert set(np.unique(sout)) <= {0.0, 2.0}
+
+
 def _make_synthetic_raw(tmp_path, n_cases=3, shape=(20, 22, 24)):
     base = tmp_path / "raw"
     rng = np.random.default_rng(0)
