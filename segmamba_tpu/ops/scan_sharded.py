@@ -51,7 +51,10 @@ def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None):
         return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs, **kwargs)
     except (AttributeError, TypeError):  # older jax: whole mesh is manual
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs)
 

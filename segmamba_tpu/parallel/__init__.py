@@ -13,7 +13,9 @@ from segmamba_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from segmamba_tpu.parallel.pp import pipeline_lm_logits, stack_block_params
 from segmamba_tpu.parallel.tp import tp_shard, tp_specs
 
 __all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch",
-           "tp_shard", "tp_specs"]
+           "tp_shard", "tp_specs", "pipeline_lm_logits",
+           "stack_block_params"]

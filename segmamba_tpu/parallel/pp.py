@@ -1,0 +1,161 @@
+"""GPipe-style pipeline parallelism for the Mamba LM stack.
+
+Beyond-reference capability (the reference is DP-only,
+/root/reference/light_training/trainer.py:352-357): the ``MixerModel`` /
+``MambaLMHeadModel`` stack of identical prenorm Blocks
+(/root/reference/mamba/mamba_ssm/models/mixer_seq_simple.py:83-170) is split
+into contiguous layer groups over a ``"pipe"`` mesh axis, and microbatches
+stream through the stages with ``lax.ppermute`` activation handoffs over ICI
+— the standard TPU pipelining recipe (shard_map + collective-permute ring),
+not a torch-style RPC pipeline.
+
+Schedule: plain GPipe. Microbatch ``m`` enters stage 0 at tick ``m`` and
+stage ``s`` at tick ``m + s``; the loop runs ``n_micro + n_stages - 1``
+ticks. Bubble fraction = (n_stages-1)/(n_micro+n_stages-1); pick
+``n_microbatches >= n_stages`` to amortize. Warm-up/drain ticks compute on
+placeholder buffers; their results never land in a valid output slot (the
+last stage only records ticks ``>= n_stages-1``), so correctness does not
+depend on masking the bubble compute. The whole schedule lives inside one
+jit program — activations transfer device-to-device with no host hop, and
+the backward pass is just the transpose of the same program (``ppermute``
+reverses itself under AD), giving 1F1B-shaped reverse flow for free.
+
+Embedding, final norm, and the tied LM head run replicated outside the
+pipelined region (they are O(vocab·d) and O(L·d) — negligible next to the
+n_layer Mamba blocks).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.8
+
+    def shard_map(f, **kw):
+        # the experimental API's check_rep kwarg became check_vma
+        kw["check_vma"] = kw.pop("check_rep", True)
+        return _shard_map(f, **kw)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from segmamba_tpu.ops.fused_norm import layer_norm_fn, rms_norm_fn
+
+
+def stack_block_params(backbone_params, n_layer):
+    """``{"layers_0": p0, ...}`` -> one pytree with a leading layer axis.
+
+    All Blocks are structurally identical, so their param trees stack leaf-
+    wise; the result feeds a ``lax.scan`` over layers (and, reshaped to
+    ``(n_stages, layers_per_stage, ...)``, a shard_map over stages).
+    """
+    blocks = [backbone_params[f"layers_{i}"] for i in range(n_layer)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def pipeline_lm_logits(model, variables, input_ids, mesh: Mesh,
+                       axis: str = "pipe", n_microbatches: int | None = None):
+    """Pipeline-parallel equivalent of ``model.apply(variables, input_ids)``
+    for a ``MambaLMHeadModel``: (batch, L) int tokens -> (batch, L, vocab)
+    f32 logits. Differentiable w.r.t. ``variables`` (the stage stacking and
+    collective-permutes are linear ops with exact transposes).
+
+    Requires ``model.n_layer % mesh.shape[axis] == 0`` and
+    ``batch % n_microbatches == 0``.
+    """
+    from segmamba_tpu.models.mamba_lm import Block  # local: avoid cycle
+
+    params = variables["params"]["backbone"]
+    n_layer = model.n_layer
+    n_stages = mesh.shape[axis]
+    if n_layer % n_stages != 0:
+        raise ValueError(f"n_layer {n_layer} not divisible by "
+                         f"{n_stages} pipeline stages")
+    lps = n_layer // n_stages
+
+    batch, seqlen = input_ids.shape
+    n_micro = n_microbatches or min(batch, n_stages)
+    if batch % n_micro != 0:
+        raise ValueError(f"batch {batch} not divisible by "
+                         f"{n_micro} microbatches")
+    mb = batch // n_micro
+
+    stacked = stack_block_params(params, n_layer)
+    staged = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_stages, lps) + x.shape[1:]), stacked)
+
+    h = params["embedding"][input_ids].astype(model.dtype)
+    d_model = h.shape[-1]
+    x_all = h.reshape(n_micro, mb, seqlen, d_model)
+
+    block = Block(d_model=model.d_model, rms_norm=model.rms_norm,
+                  mixer_kwargs={"scan_impl": model.scan_impl},
+                  dtype=model.dtype)
+
+    def apply_stage(stage_params, h, res):
+        def one(carry, p):
+            h, res = carry
+            h, res = block.apply({"params": p}, h, res)
+            return (h, res.astype(jnp.float32)), None
+        (h, res), _ = lax.scan(one, (h, res), stage_params)
+        return h, res
+
+    def pp_fn(staged_local, x_all):
+        # staged_local: (1, lps, ...) — this stage's layer group
+        stage_params = jax.tree_util.tree_map(lambda x: x[0], staged_local)
+        stage = lax.axis_index(axis)
+        last = n_stages - 1
+        ticks = n_micro + n_stages - 1
+        perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+        buf_h = jnp.zeros((mb, seqlen, d_model), x_all.dtype)
+        buf_r = jnp.zeros((mb, seqlen, d_model), jnp.float32)
+        outs_h = jnp.zeros((n_micro, mb, seqlen, d_model), x_all.dtype)
+        outs_r = jnp.zeros((n_micro, mb, seqlen, d_model), jnp.float32)
+
+        def step(carry, t):
+            buf_h, buf_r, outs_h, outs_r = carry
+            x_t = lax.dynamic_index_in_dim(
+                x_all, jnp.minimum(t, n_micro - 1), 0, keepdims=False)
+            # stage 0 feeds from the input stream (residual starts at 0 —
+            # layer_norm_fn(residual=None) == residual=zeros); later stages
+            # feed from the ppermute'd buffer
+            inp_h = jnp.where(stage == 0, x_t, buf_h)
+            inp_r = jnp.where(stage == 0, jnp.zeros_like(buf_r), buf_r)
+            out_h, out_r = apply_stage(stage_params, inp_h, inp_r)
+            nbuf_h = lax.ppermute(out_h, axis, perm)
+            nbuf_r = lax.ppermute(out_r, axis, perm)
+            oidx = t - last
+            valid = (stage == last) & (oidx >= 0)
+            oclip = jnp.maximum(oidx, 0)
+            cur_h = lax.dynamic_index_in_dim(outs_h, oclip, 0, keepdims=False)
+            cur_r = lax.dynamic_index_in_dim(outs_r, oclip, 0, keepdims=False)
+            outs_h = lax.dynamic_update_index_in_dim(
+                outs_h, jnp.where(valid, out_h, cur_h), oclip, 0)
+            outs_r = lax.dynamic_update_index_in_dim(
+                outs_r, jnp.where(valid, out_r, cur_r), oclip, 0)
+            return (nbuf_h, nbuf_r, outs_h, outs_r), None
+
+        (_, _, outs_h, outs_r), _ = lax.scan(
+            step, (buf_h, buf_r, outs_h, outs_r), jnp.arange(ticks))
+        # results live on the last stage only; psum of the masked buffers
+        # broadcasts them (every other stage contributes zeros)
+        outs_h = lax.psum(jnp.where(stage == last, outs_h,
+                                    jnp.zeros_like(outs_h)), axis)
+        outs_r = lax.psum(jnp.where(stage == last, outs_r,
+                                    jnp.zeros_like(outs_r)), axis)
+        return outs_h, outs_r
+
+    h_out, r_out = shard_map(
+        pp_fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=(P(), P()),
+        check_rep=False)(staged, x_all)
+
+    h_out = h_out.reshape(batch, seqlen, d_model)
+    r_out = r_out.reshape(batch, seqlen, d_model)
+    fn = rms_norm_fn if model.rms_norm else layer_norm_fn
+    normed = fn(h_out, params["norm_f_weight"], params.get("norm_f_bias"),
+                residual=r_out, prenorm=False, eps=1e-5)
+    return jnp.einsum("bld,vd->blv", normed.astype(jnp.float32),
+                      params["embedding"].astype(jnp.float32))
