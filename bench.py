@@ -9,6 +9,14 @@ pass (no TTA), roi 128^3 / overlap 0.5 / gaussian blending / sw_batch 1
 (images/segmamba_ablation.jpg) => 0.662 volumes/sec on the authors' GPU.
 The full 8x-mirror-TTA eval protocol (4_predict.py:55-62) is measured
 separately by benchmarks/bench_tta.py.
+
+Extra fields (VERDICT r3 items 3 & 7):
+- ``mfu``: achieved model FLOP/s over the case divided by the chip's peak
+  bf16 FLOP/s — model FLOPs from XLA's own cost analysis of the compiled
+  128^3 forward, times the number of sliding windows per case.
+- ``train_step_sec``: jitted train step at the reference recipe shape
+  (batch 2 x 128^3, bf16, device augmentation on), so training perf is
+  tracked round-over-round like inference.
 """
 
 import json
@@ -17,6 +25,24 @@ import time
 import numpy as np
 
 BASELINE_VOLS_PER_SEC = 1.0 / 1.51
+
+# peak dense bf16 FLOP/s per chip, by device_kind substring
+_PEAK_BF16 = (
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),  # v5e reports "TPU v5 lite..."
+    ("v5e", 197e12),
+    ("v6 lite", 918e12),
+    ("v6e", 918e12),
+    ("v4", 275e12),
+)
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return 197e12
 
 
 def main():
@@ -84,12 +110,70 @@ def main():
         print(f"# {path}: {min(times):.3f} s/case", file=sys.stderr)
     sec = min(sec_by_path.values())
     vps = 1.0 / sec
-    print(json.dumps({
+
+    # --- MFU: XLA-counted FLOPs of the compiled 128^3 forward, scaled by
+    # windows/case (the sliding-window grid at 150x180x150, overlap .5,
+    # roi 128^3 is 8 windows), over the chip's peak bf16 FLOP/s.
+    mfu = None
+    try:
+        cost = jax.jit(model.apply).lower(params, x128).compile()
+        ca = cost.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_fwd = float(ca["flops"])
+        from segmamba_tpu.infer.sliding_window import _scan_starts
+        n_windows = len(_scan_starts(
+            (150, 180, 150), inferer.roi_size, inferer.overlap))
+        mfu = (flops_fwd * n_windows / sec) / _peak_flops(jax.devices()[0])
+        print(f"# fwd flops={flops_fwd:.3e} windows={n_windows} "
+              f"mfu={mfu:.4f}", file=sys.stderr)
+    except Exception as e:
+        print(f"# mfu unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # --- train step at the reference recipe shape (trainer.py:422-483 hot
+    # loop): batch 2 x 128^3 bf16, device augmentation, poly-LR SGD.
+    train_step_sec = None
+    try:
+        from segmamba_tpu.train.train_state import (create_train_state,
+                                                    train_step)
+        tmodel = SegMamba(in_chans=4, out_chans=4, dtype=jnp.bfloat16,
+                          remat=True)
+        tstate = create_train_state(tmodel, jax.random.key(0), x128,
+                                    learning_rate=1e-2)
+        batch = {
+            "image": jnp.zeros((2, 128, 128, 128, 4), jnp.float32),
+            "label": jnp.zeros((2, 128, 128, 128), jnp.int32),
+        }
+
+        def step(state, key):
+            state, metrics = train_step(state, batch, num_classes=4,
+                                        augment_key=key)
+            return state, metrics["loss"]
+
+        tstate, loss = step(tstate, jax.random.key(1))  # compile
+        float(loss)
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            tstate, loss = step(tstate, jax.random.key(2 + i))
+            float(loss)  # scalar fetch forces completion through the relay
+            times.append(time.perf_counter() - t0)
+        train_step_sec = min(times)
+        print(f"# train_step: {train_step_sec:.3f} s", file=sys.stderr)
+    except Exception as e:
+        print(f"# train_step unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    out = {
         "metric": "brats_case_sliding_window_inference",
         "value": round(vps, 4),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vps / BASELINE_VOLS_PER_SEC, 3),
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    if train_step_sec is not None:
+        out["train_step_sec"] = round(train_step_sec, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

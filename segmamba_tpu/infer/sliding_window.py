@@ -260,6 +260,12 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
             # remote-compile hop rejected the fused program (request-size
             # cap); fall back to per-group programs. Passing params via
             # predictor_args (not closures) usually avoids this.
+            import logging
+            logging.getLogger(__name__).warning(
+                "sliding_window_inference: fused single-program path "
+                "rejected by the remote-compile relay (HTTP 413); falling "
+                "back to the per-group host loop. Pass params via "
+                "predictor_args (not closures) to shrink the program.")
             out = _sliding_window_hostloop(*hostloop_args)
     out = out[:Z, :Y, :X]
     return out if squeeze else out[None]

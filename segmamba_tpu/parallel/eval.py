@@ -55,19 +55,26 @@ def eval_map(fn, items, n_shards=None, devices=None):
     results = [None] * len(items)
     claimed = [False] * len(items)
     lock = threading.Lock()
+    errors = []
 
     def run_shard(s, chunk):
         dev = devices[s % len(devices)]
-        for i in chunk:
+        try:
+            for i in chunk:
+                with lock:
+                    if claimed[i]:
+                        continue
+                    claimed[i] = True
+                with jax.default_device(dev):
+                    results[i] = fn(items[i])
+        except BaseException as e:  # re-raised in the caller after join
             with lock:
-                if claimed[i]:
-                    continue
-                claimed[i] = True
-            with jax.default_device(dev):
-                results[i] = fn(items[i])
+                errors.append((s, e))
 
     if len(shards) == 1:
         run_shard(0, shards[0])
+        if errors:
+            raise errors[0][1]
         return results
     threads = [threading.Thread(target=run_shard, args=(s, chunk))
                for s, chunk in enumerate(shards)]
@@ -75,4 +82,9 @@ def eval_map(fn, items, n_shards=None, devices=None):
         t.start()
     for t in threads:
         t.join()
+    if errors:
+        s, err = errors[0]
+        raise RuntimeError(
+            f"eval_map: shard {s} failed ({len(errors)} shard(s) total); "
+            "results are incomplete") from err
     return results

@@ -43,11 +43,16 @@ def default_optimizer(learning_rate, grad_clip: float = 12.0,
 
 def create_train_state(model, rng, sample_x, learning_rate=1e-2,
                        optimizer=None, mesh=None,
-                       model_axis=None) -> TrainState:
+                       model_axis=None, params=None) -> TrainState:
     """``model_axis``: when it names an axis of ``mesh``, Mamba-inner
     params (and their optimizer momentum) are sharded over it —
-    tensor parallelism via parallel/tp.py; everything else replicates."""
-    params = jax.jit(model.init)(rng, sample_x)
+    tensor parallelism via parallel/tp.py; everything else replicates.
+
+    ``params``: pre-initialized parameter tree to reuse (skips the init
+    compile — the tree does not depend on the mesh wiring, so one init can
+    serve several differently-sharded states)."""
+    if params is None:
+        params = jax.jit(model.init)(rng, sample_x)
     tx = optimizer if optimizer is not None else default_optimizer(learning_rate)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     if mesh is not None:

@@ -10,6 +10,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

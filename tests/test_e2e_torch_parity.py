@@ -1,0 +1,155 @@
+"""Full-pipeline golden parity vs torch: one identical weight set pushed
+through (a) the reference's prediction semantics — vendored MONAI
+``sliding_window_inference`` (monai/inferers/utils.py:43-321) + the
+mirror-TTA average (light_training/prediction.py:110-159) + trilinear
+inverse resample (:35-63) + bbox paste (:66-108) — driven by a torch
+replica model, and (b) this repo's ``4_predict`` chain (Predictor +
+SlidingWindowInferer + inverse + NIfTI save), then asserts NIfTI-level
+agreement (per-class dice on the two written files).
+
+This is the strongest in-container proxy for the ±0.1 Dice/HD95 parity
+target: it pins the whole sliding-window + TTA + inverse-resample + save
+chain, not just the model forward (tests/test_torch_convert.py).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from segmamba_tpu.data.nifti import read_nifti
+from segmamba_tpu.infer import Predictor, SlidingWindowInferer
+from segmamba_tpu.models import SegMamba
+from segmamba_tpu.utils.torch_convert import convert_segmamba_state_dict
+
+from test_torch_convert import CFG, TSegMamba
+
+_REFERENCE = "/root/reference"
+
+ROI = (16, 16, 16)
+DATA_SHAPE = (18, 22, 20)               # post-resample (model input) shape
+CROP_SHAPE = (22, 26, 24)               # shape_after_cropping_before_resample
+FULL_SHAPE = (28, 32, 30)               # shape_before_cropping
+BBOX = [[3, 25], [2, 28], [4, 28]]
+
+
+@pytest.fixture(scope="module")
+def weights_and_case():
+    torch.manual_seed(3)
+    tm = TSegMamba(CFG["in_chans"], CFG["out_chans"], CFG["depths"],
+                   CFG["feat_size"], CFG["hidden_size"],
+                   CFG["num_slices_list"]).eval()
+    params = convert_segmamba_state_dict(tm.state_dict(),
+                                         depths=CFG["depths"])
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((CFG["in_chans"],) + DATA_SHAPE).astype(
+        np.float32)
+    props = {
+        "name": "golden_case",
+        "spacing": (1.0, 1.0, 1.0),
+        "shape_after_cropping_before_resample": CROP_SHAPE,
+        "shape_before_cropping": FULL_SHAPE,
+        "bbox_used_for_cropping": BBOX,
+    }
+    return tm, params, data, props
+
+
+def _torch_reference_pipeline(tm, data, props, out_dir):
+    """The reference 4_predict chain on CPU, using the reference's own
+    vendored MONAI inferer; TTA/inverse steps re-stated from
+    light_training/prediction.py (SimpleITK-free)."""
+    sys.path.insert(0, _REFERENCE)
+    try:
+        from monai.inferers import SlidingWindowInferer as RefInferer
+    finally:
+        sys.path.remove(_REFERENCE)
+
+    window_infer = RefInferer(roi_size=list(ROI), sw_batch_size=2,
+                              overlap=0.5, progress=False, mode="gaussian")
+    x = torch.from_numpy(data[None])                     # (1, C, D, H, W)
+    with torch.no_grad():
+        # prediction.py:110-159 — all 8 flip combos of dims (2, 3, 4)
+        pred = window_infer(x, tm)
+        for axes in [(2,), (3,), (4,), (2, 3), (2, 4), (3, 4), (2, 3, 4)]:
+            pred = pred + torch.flip(window_infer(torch.flip(x, axes), tm),
+                                     axes)
+        pred = pred / 8.0
+
+        # prediction.py:35-63 — per-channel trilinear to pre-resample shape
+        logits = pred[0]                                  # (K, D, H, W)
+        out = torch.zeros((logits.shape[0],) + CROP_SHAPE)
+        for c in range(logits.shape[0]):
+            out[c] = torch.nn.functional.interpolate(
+                logits[c][None, None], size=CROP_SHAPE,
+                mode="trilinear")[0, 0]
+    seg = out.argmax(dim=0).numpy().astype(np.uint8)
+
+    # prediction.py:66-108 — paste into pre-crop volume at the stored bbox
+    full = np.zeros(FULL_SHAPE, np.uint8)
+    sl = tuple(slice(b[0], b[1]) for b in BBOX)
+    full[sl] = seg
+
+    # prediction.py:208-226 — NIfTI write (shared writer; the comparison
+    # target is the label volume, the write/read round-trip is exercised
+    # on both sides)
+    path = os.path.join(out_dir, "torch_ref.nii.gz")
+    from segmamba_tpu.data.nifti import write_nifti
+    write_nifti(path, full, spacing=props["spacing"])
+    return path
+
+
+def _repo_pipeline(params, data, props, out_dir):
+    """This repo's 4_predict per-case chain (4_predict.py:106-135)."""
+    import jax
+
+    model = SegMamba(scan_impl="ref", **CFG)
+    fwd = jax.jit(model.apply)
+
+    def predictor_fn(p, wins):
+        return fwd(p, wins)
+
+    # bucket=0: no shape-bucket padding, so the window grid matches MONAI's
+    # exactly (the bucket is a compile-sharing optimization that shifts
+    # window placement; blending then differs slightly from the reference)
+    inferer = SlidingWindowInferer(ROI, sw_batch_size=2, overlap=0.5,
+                                   mode="gaussian", bucket=0)
+    predictor = Predictor(inferer, mirror_axes=(0, 1, 2),
+                          predictor_args=(params,))
+    x = jnp.asarray(np.moveaxis(data, 0, -1))[None]       # (1, Z, Y, X, C)
+    logits = predictor.maybe_mirror_and_predict(x, predictor_fn,
+                                                num_classes=CFG["out_chans"])
+    raw = predictor.predict_raw_probability(np.asarray(logits), props)
+    seg = np.argmax(raw, axis=0)
+    full = predictor.predict_noncrop_probability(seg[None], props)
+    return predictor.save_to_nii(full, props, out_dir, name="repo_pred")
+
+
+def _dice(a, b):
+    inter = np.sum((a > 0) & (b > 0) & (a == b))
+    return 2.0 * inter / max(np.sum(a > 0) + np.sum(b > 0), 1)
+
+
+def test_e2e_prediction_golden_parity(weights_and_case, tmp_path):
+    tm, params, data, props = weights_and_case
+    ref_path = _torch_reference_pipeline(tm, data, props, str(tmp_path))
+    repo_path = _repo_pipeline(params, data, props, str(tmp_path))
+
+    ref_seg = np.asarray(read_nifti(ref_path))
+    repo_seg = np.asarray(read_nifti(repo_path))
+    assert ref_seg.shape == repo_seg.shape == FULL_SHAPE
+
+    agree = float(np.mean(ref_seg == repo_seg))
+    classes = sorted(set(np.unique(ref_seg)) | set(np.unique(repo_seg)))
+    dices = {int(k): _dice(ref_seg == k, repo_seg == k)
+             for k in classes if k != 0}
+    print(f"voxel agreement {agree:.6f}, per-class dice {dices}")
+    assert agree >= 0.999
+    for k, d in dices.items():
+        assert d >= 0.999, f"class {k}: dice {d:.6f}"

@@ -11,6 +11,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn
 import torch.nn.functional as tF

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 from segmamba_tpu.infer import Predictor, SlidingWindowInferer, \
     sliding_window_inference
 from segmamba_tpu.infer.sliding_window import (

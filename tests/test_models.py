@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 from segmamba_tpu.models import MambaV3, SegMamba, UnetrUpBlock, UnetrBasicBlock
 from segmamba_tpu.models.mamba import slice_deinterleave, slice_interleave
 

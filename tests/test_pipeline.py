@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 from segmamba_tpu.data import (
     MedicalDataset,
     MultiModalityPreprocessor,

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 from segmamba_tpu.models.mamba_lm import MambaLMHeadModel
 from segmamba_tpu.parallel.mesh import make_mesh
 from segmamba_tpu.parallel.pp import pipeline_lm_logits, stack_block_params

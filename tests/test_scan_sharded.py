@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 from segmamba_tpu.ops import mamba_inner, selective_scan_ref
 from segmamba_tpu.ops.scan_sharded import (
     mamba_inner_sharded,

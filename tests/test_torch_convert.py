@@ -12,6 +12,8 @@ match the torch forward. This is the machinery that loads the published
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn
 import torch.nn.functional as tF

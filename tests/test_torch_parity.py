@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 torch = pytest.importorskip("torch")
 
 from segmamba_tpu.models.layers import Conv3d, ConvTranspose3d, instance_norm

@@ -9,6 +9,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
 from jax.sharding import PartitionSpec as P
 
 from segmamba_tpu.models import SegMamba

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 from segmamba_tpu.models import SegMamba
 from segmamba_tpu.parallel import make_mesh
 from segmamba_tpu.train import (

@@ -12,6 +12,8 @@ which is what the +-0.1 Dice parity budget rests on.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 torch = pytest.importorskip("torch")
 
 import jax

@@ -1,6 +1,10 @@
 """Whole-volume single-shot inference + distributed eval helpers."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # multi-minute XLA:CPU compiles (see conftest)
+
 import jax
 import jax.numpy as jnp
 
