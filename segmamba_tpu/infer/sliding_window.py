@@ -39,7 +39,13 @@ def _scan_starts(image_size, roi_size, overlap):
 
 
 def gaussian_importance_map(roi_size, sigma_scale=0.125, dtype=np.float32):
-    """Separable gaussian, peak 1, zero-free (monai compute_importance_map)."""
+    """Separable gaussian, peak 1, zero-free.
+
+    Matches the reference's blending weights exactly up to a global scalar
+    (monai/data/utils.py:1088-1139 compute_importance_map): the raw map is
+    clamped at ``max(min_value, 1e-3)`` — which also keeps the float32
+    corner weights from underflowing (~1e-21 raw at a 128^3 roi) — and the
+    peak normalization applied afterwards cancels in the out/count divide."""
     maps = []
     for s in roi_size:
         center = (s - 1) / 2.0
@@ -47,12 +53,8 @@ def gaussian_importance_map(roi_size, sigma_scale=0.125, dtype=np.float32):
         x = np.arange(s, dtype=np.float64)
         maps.append(np.exp(-0.5 * ((x - center) / sigma) ** 2))
     m = maps[0][:, None, None] * maps[1][None, :, None] * maps[2][None, None, :]
-    m = m / m.max()
-    # Floor the weights: raw corner values underflow float32 (~1e-21 for a
-    # 128^3 roi), which corrupts the out/count division wherever only one
-    # window covers a voxel. 1e-6 relative weight is numerically inert.
-    m = np.maximum(m, 1e-6).astype(dtype)
-    return m
+    m = np.maximum(m, max(float(m.min()), 1e-3))
+    return (m / m.max()).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("roi_size",))
@@ -134,7 +136,10 @@ def _importance_device(roi_size, mode, dtype=jnp.float32):
         axes.append(jnp.exp(-0.5 * ((x - center) / sigma) ** 2))
     m = (axes[0][:, None, None] * axes[1][None, :, None]
          * axes[2][None, None, :])
-    m = jnp.maximum(m / jnp.max(m), 1e-6)  # same floor as the host build
+    # monai clamp semantics (same as the host build above); raw f32 corner
+    # values at 128^3 are ~5e-11 — representable, the clamp lifts them
+    m = jnp.maximum(m, jnp.maximum(jnp.min(m), 1e-3))
+    m = m / jnp.max(m)
     return m.astype(dtype)[..., None]
 
 

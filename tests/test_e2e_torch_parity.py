@@ -33,11 +33,13 @@ from test_torch_convert import CFG, TSegMamba
 
 _REFERENCE = "/root/reference"
 
-ROI = (16, 16, 16)
-DATA_SHAPE = (18, 22, 20)               # post-resample (model input) shape
-CROP_SHAPE = (22, 26, 24)               # shape_after_cropping_before_resample
-FULL_SHAPE = (28, 32, 30)               # shape_before_cropping
-BBOX = [[3, 25], [2, 28], [4, 28]]
+# ROI 32 (not 16): the torch replica's InstanceNorm3d rejects the 1^3
+# spatial shape the final encoder stage would have at roi 16
+ROI = (32, 32, 32)
+DATA_SHAPE = (34, 40, 36)               # post-resample (model input) shape
+CROP_SHAPE = (38, 44, 40)               # shape_after_cropping_before_resample
+FULL_SHAPE = (44, 50, 46)               # shape_before_cropping
+BBOX = [[3, 41], [2, 46], [4, 44]]
 
 
 @pytest.fixture(scope="module")
@@ -89,6 +91,7 @@ def _torch_reference_pipeline(tm, data, props, out_dir):
             out[c] = torch.nn.functional.interpolate(
                 logits[c][None, None], size=CROP_SHAPE,
                 mode="trilinear")[0, 0]
+    raw = out.numpy()
     seg = out.argmax(dim=0).numpy().astype(np.uint8)
 
     # prediction.py:66-108 — paste into pre-crop volume at the stored bbox
@@ -102,7 +105,7 @@ def _torch_reference_pipeline(tm, data, props, out_dir):
     path = os.path.join(out_dir, "torch_ref.nii.gz")
     from segmamba_tpu.data.nifti import write_nifti
     write_nifti(path, full, spacing=props["spacing"])
-    return path
+    return path, raw
 
 
 def _repo_pipeline(params, data, props, out_dir):
@@ -128,7 +131,7 @@ def _repo_pipeline(params, data, props, out_dir):
     raw = predictor.predict_raw_probability(np.asarray(logits), props)
     seg = np.argmax(raw, axis=0)
     full = predictor.predict_noncrop_probability(seg[None], props)
-    return predictor.save_to_nii(full, props, out_dir, name="repo_pred")
+    return predictor.save_to_nii(full, props, out_dir, name="repo_pred"), raw
 
 
 def _dice(a, b):
@@ -138,9 +141,23 @@ def _dice(a, b):
 
 def test_e2e_prediction_golden_parity(weights_and_case, tmp_path):
     tm, params, data, props = weights_and_case
-    ref_path = _torch_reference_pipeline(tm, data, props, str(tmp_path))
-    repo_path = _repo_pipeline(params, data, props, str(tmp_path))
+    ref_path, ref_raw = _torch_reference_pipeline(tm, data, props,
+                                                  str(tmp_path))
+    repo_path, repo_raw = _repo_pipeline(params, data, props, str(tmp_path))
 
+    # 1) the real parity contract: the PRE-argmax probability volumes after
+    # TTA + inverse resample must agree numerically (f32 torch vs f32 jax
+    # through two independent sliding-window/TTA/resample stacks)
+    scale = float(np.abs(ref_raw).max())
+    np.testing.assert_allclose(repo_raw, ref_raw, rtol=5e-3,
+                               atol=5e-3 * scale)
+
+    # 2) label-level agreement on the written NIfTIs. With RANDOM-init
+    # weights the class logits are nearly tied everywhere, so a ~2e-3
+    # relative numeric difference flips ~0.1% of voxels at random — a
+    # rare class can lose several dice points to pure tie noise while a
+    # real semantic bug (wrong flip axis / gaussian map / bbox) drops
+    # agreement to <0.9. Gate at voxel agreement 0.999 and dice 0.9.
     ref_seg = np.asarray(read_nifti(ref_path))
     repo_seg = np.asarray(read_nifti(repo_path))
     assert ref_seg.shape == repo_seg.shape == FULL_SHAPE
@@ -152,4 +169,4 @@ def test_e2e_prediction_golden_parity(weights_and_case, tmp_path):
     print(f"voxel agreement {agree:.6f}, per-class dice {dices}")
     assert agree >= 0.999
     for k, d in dices.items():
-        assert d >= 0.999, f"class {k}: dice {d:.6f}"
+        assert d >= 0.9, f"class {k}: dice {d:.6f}"
