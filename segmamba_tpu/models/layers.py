@@ -90,6 +90,43 @@ class Conv3d(nn.Module):
             # this ~4x slower than the equivalent dot (measured 10.4 ms vs
             # 2.7 ms on a 128^3 x 48ch volume).
             y = jnp.einsum("...c,ce->...e", x, kern[0, 0, 0])
+        elif (ks == strides and self.padding == 0
+                and all(dim % k == 0 for dim, k in zip((d, h, w), ks))):
+            # non-overlapping "patchify" conv (the encoder's k2s2
+            # downsamples, segmamba.py stem/downsample wiring) as
+            # space-to-depth + one matmul: K = prod(k)*Cin streams through
+            # the MXU unpadded, vs the conv emitter's per-tap relayouts.
+            kd, kh, kw = ks
+            xs = x.reshape(b, d // kd, kd, h // kh, kh, w // kw, kw, cin)
+            xs = jnp.transpose(xs, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
+                b, d // kd, h // kh, w // kw, kd * kh * kw * cin)
+            y = jnp.einsum("...c,ce->...e", xs,
+                           kern.reshape(kd * kh * kw * cin, self.features))
+        elif (ks[0] == ks[1] == ks[2] and ks[0] % 2 == 1
+                and strides == (2, 2, 2) and self.padding == ks[0] // 2
+                and d % 2 == 0):
+            # odd-k stride-2 conv (the encoder stem k7 s2 p3) as a conv2d
+            # with the depth taps folded into input channels and the depth
+            # stride taken by slicing: XLA's conv3d emitter runs the
+            # 4-channel stem at ~3.5 Tflop/s, the folded conv2d at >100
+            # (measured 10.0 ms vs <1 ms at 128^3, benchmarks/
+            # bench_conv_opt.py). Matches torch Conv3d(k, stride=2,
+            # padding=k//2) exactly (reference stem,
+            # model_segmamba/segmamba.py MambaEncoder downsample_layers[0]).
+            k0 = ks[0]
+            p = k0 // 2
+            dout = d // 2
+            xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0), (0, 0)))
+            xcat = jnp.concatenate(
+                [jax.lax.slice_in_dim(xp, kd, kd + 2 * dout - 1, 2, axis=1)
+                 for kd in range(k0)], axis=-1)
+            wcat = jnp.transpose(kern, (1, 2, 0, 3, 4)).reshape(
+                k0, k0, k0 * cin, self.features)
+            y = jax.lax.conv_general_dilated(
+                xcat.reshape(b * dout, h, w, k0 * cin), wcat, (2, 2),
+                [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(b, dout, h // 2, w // 2, self.features)
         elif (ks == (3, 3, 3) and strides == (1, 1, 1) and self.padding == 1
                 and ((d * h * w >= 128 ** 3 and cin <= 96)
                      or (d * h * w >= 64 ** 3 and cin >= 96)
@@ -138,9 +175,28 @@ class ConvTranspose3d(nn.Module):
         kernel = self.param("kernel", torch_kaiming_uniform(fan_in),
                             ks + (x.shape[-1], self.features))
         dt = self.dtype or x.dtype
-        y = jax.lax.conv_transpose(
-            x.astype(dt), kernel.astype(dt), (self.stride,) * 3, "VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if self.kernel_size == self.stride:
+            # k == s transposed conv (every decoder upsample) as one matmul
+            # + depth-to-space: each output voxel has exactly one
+            # contributing tap, y[s*i + r] = x[i] @ w[k-1-r] (conv_transpose
+            # evaluates the kernel flipped), so the conv collapses to
+            # x @ W (C -> k^3*Cout) and a reshape. N = k^3*Cout fills the
+            # MXU columns the conv emitter leaves 62% idle at Cout=48
+            # (measured 3.2x, benchmarks/bench_conv_opt.py).
+            k = self.kernel_size
+            xb = x.astype(dt)
+            b, d, h, w, cin = xb.shape
+            wm = jnp.flip(kernel.astype(dt), axis=(0, 1, 2))
+            wm = jnp.transpose(wm, (3, 0, 1, 2, 4)).reshape(
+                cin, k ** 3 * self.features)
+            y = jnp.einsum("...c,ce->...e", xb, wm)
+            y = y.reshape(b, d, h, w, k, k, k, self.features)
+            y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+                b, k * d, k * h, k * w, self.features)
+        else:
+            y = jax.lax.conv_transpose(
+                x.astype(dt), kernel.astype(dt), (self.stride,) * 3, "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         if self.use_bias:
             bias = self.param("bias", torch_bias_uniform(fan_in),
                               (self.features,))
