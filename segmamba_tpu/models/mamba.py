@@ -203,13 +203,15 @@ class MambaV3(nn.Module):
             chunk_size=self.scan_chunk)
 
     def _run_directions_dir(self, xz, psets, batch, nslices):
-        """All orientations over the ORIGINAL layout — no flip/interleave
-        copies. The conv handles direction algebraically
-        (causal_conv1d_directional), projections are per-token
-        (order-free), and the scan kernel walks the data in each
-        orientation's order via BlockSpec index maps + in-VMEM tile
-        reversal/transposition (ops/scan_pallas_dir.py). Removes the
-        reorder glue that dominated the round-1 profile."""
+        """Forward + flip orientations over the ORIGINAL layout — no
+        flip/concat copies: the conv handles direction algebraically
+        (causal_conv1d_directional) and the scan kernel walks the chunks
+        through reversed BlockSpec index maps (ops/scan_pallas_dir.py).
+        The slice orientation reorders exactly ONE array (xz, before the
+        conv) and reuses the plain fused pipeline — an earlier form
+        interleaved the five post-conv arrays (xc/dt/z/B/C) instead and
+        measured slower than the flip-and-batch path it was meant to
+        replace."""
         from segmamba_tpu.ops.causal_conv1d import causal_conv1d_directional
         from segmamba_tpu.ops.scan_pallas_dir import (
             mamba_scan_fused_dir,
@@ -217,21 +219,30 @@ class MambaV3(nn.Module):
             slice_scan_supported,
         )
 
+        use_slice = len(psets) == 3
+        L = xz.shape[1]
+        # The zero-copy slice kernel (hardware-legal (S, Tp>=8, Dblk)
+        # blocks, exact on-chip) LOSES to materializing the interleave:
+        # its S-strided block DMA measured 59 ms vs 5.1 ms for
+        # interleave+batched-scan at stage-0 (v5e, 262144x96). XLA's
+        # gather copy is ~0.5 ms; strided DMA on every operand is not.
+        # Default therefore interleaves; ``slice_kernel=True`` opts in.
+        slice_in_kernel = (use_slice and self.slice_kernel
+                           and slice_scan_supported(L, nslices,
+                                                    self.scan_chunk))
+        g = 3 if slice_in_kernel else 2
         conv_w3, conv_b3, x_proj3, dt_proj3, dt_bias3, A_log3, D3 = tuple(
             None if ps[0] is None else jnp.stack(ps)
-            for ps in zip(*psets))
-        g = conv_w3.shape[0]
-        use_slice = g == 3
+            for ps in zip(*psets[:g]))
         d_inner = xz.shape[-1] // 2
         dt_rank = x_proj3.shape[-1] - 2 * self.d_state
         x, z = xz[..., :d_inner], xz[..., d_inner:]
-        L = x.shape[1]
 
         xc = causal_conv1d_directional(
             x, conv_w3.astype(self.dtype),
             None if conv_b3 is None else conv_b3.astype(self.dtype),
             activation="silu",
-            nslices=nslices if use_slice else None)     # (g, b, L, Din)
+            nslices=nslices if slice_in_kernel else None)  # (g, b, L, Din)
         x_dbl = jnp.einsum("gbld,gde->gble", xc, x_proj3.astype(xc.dtype))
         dt = jnp.einsum("gblr,grd->gbld", x_dbl[..., :dt_rank],
                         dt_proj3.astype(xc.dtype))
@@ -249,29 +260,15 @@ class MambaV3(nn.Module):
             xc[1], dt[1], z, rep(A3, 1), Bm[1], Cm[1], rep(D3f, 1),
             rep(bias3f, 1), reverse=True, chunk_size=self.scan_chunk)
 
-        if use_slice:
-            # The zero-copy slice kernel (hardware-legal (S, Tp>=8, Dblk)
-            # blocks, exact on-chip) LOSES to materializing the interleave:
-            # its S-strided block DMA measured 59 ms vs 5.1 ms for
-            # interleave+batched-scan at stage-0 (v5e, 262144x96). XLA's
-            # gather copy is ~0.5 ms; strided DMA on every operand is not.
-            # Default therefore interleaves; ``slice_kernel=True`` opts in.
-            if self.slice_kernel \
-                    and slice_scan_supported(L, nslices, self.scan_chunk):
-                out_s = mamba_scan_fused_slice(
-                    xc[2], dt[2], z, rep(A3, 2), Bm[2], Cm[2], rep(D3f, 2),
-                    rep(bias3f, 2), nslices=nslices,
-                    chunk_size=self.scan_chunk)
-                combined = combined + out_s
-            else:
-                # interleave the (already-convolved) activations and reuse
-                # the forward kernel
-                il = lambda a: slice_interleave(a, nslices)
-                out_s = mamba_scan_fused_dir(
-                    il(xc[2]), il(dt[2]), il(z), rep(A3, 2), il(Bm[2]),
-                    il(Cm[2]), rep(D3f, 2), rep(bias3f, 2),
-                    chunk_size=self.scan_chunk)
-                combined = combined + slice_deinterleave(out_s, nslices)
+        if slice_in_kernel:
+            combined = combined + mamba_scan_fused_slice(
+                xc[2], dt[2], z, rep(A3, 2), Bm[2], Cm[2], rep(D3f, 2),
+                rep(bias3f, 2), nslices=nslices,
+                chunk_size=self.scan_chunk)
+        elif use_slice:
+            out_s = self._run_direction(
+                slice_interleave(xz, nslices), psets[2], "fused")
+            combined = combined + slice_deinterleave(out_s, nslices)
         return combined
 
     @nn.compact
@@ -324,11 +321,17 @@ class MambaV3(nn.Module):
                                  TP_P(self.batch_axis, None,
                                       self.model_axis)))
             xz = _tp_act(xz)
-        use_dir = not use_sp and not use_tp and self.scan_impl == "dir"
+        # TPU default: the dir composition (zero-copy forward+flip, one
+        # interleave for the slice orientation) — A/B'd faster than the
+        # flip-and-batch path at both model stages (benchmarks/
+        # bench_dirpath.py: 24.4 vs 25.4 ms stage0, 4.55 vs 5.22 stage1).
+        # ``scan_impl="fused"`` keeps the batched form explicitly.
+        use_dir = not use_sp and not use_tp and (
+            self.scan_impl == "dir"
+            or (self.scan_impl in ("auto", "pallas")
+                and jax.default_backend() == "tpu"))
         use_batched = (not use_sp and not use_dir and not use_tp
-                       and (self.scan_impl == "fused"
-                            or (self.scan_impl in ("auto", "pallas")
-                                and jax.default_backend() == "tpu")))
+                       and self.scan_impl == "fused")
         if use_sp:
             # sequence-parallel path: the flip direction runs in-place as a
             # reversed sharded scan (no flipped copy crosses devices); the
