@@ -145,11 +145,15 @@ def _importance_device(roi_size, mode, dtype=jnp.float32):
 
 @functools.partial(jax.jit, static_argnames=("predictor", "roi_size",
                                              "sw_batch_size", "num_classes",
-                                             "mode"))
+                                             "mode", "pad_shape",
+                                             "compute_dtype"))
 def _sliding_window_jit(volume, starts, wmask, pred_args, predictor,
                         roi_size, sw_batch_size, num_classes,
-                        mode="gaussian"):
-    """volume: (Z, Y, X, C); starts: (n_groups, sw, 3); wmask same leading.
+                        mode="gaussian", pad_shape=None, compute_dtype=None):
+    """volume: (Z, Y, X, C) UNPADDED; starts: (n_groups, sw, 3); wmask same
+    leading. Padding to ``pad_shape`` and the final crop back both happen
+    IN-GRAPH: through the remote-compile relay every extra dispatch costs
+    ~25 ms/case, so the whole case is one program.
 
     ``pred_args`` (e.g. model params) MUST ride as jit arguments here, not
     as ``predictor`` closure captures: traced closure arrays lower into the
@@ -157,6 +161,16 @@ def _sliding_window_jit(volume, starts, wmask, pred_args, predictor,
     module — which blows past the size cap of remote-compile hops (HTTP
     413) and bloats compile cache keys. As arguments they are just entry
     parameters."""
+    if volume.ndim == 5:  # (1, Z, Y, X, C): squeeze in-graph (free)
+        volume = volume.reshape(volume.shape[1:])
+    volume = volume.astype(jnp.float32)
+    Zi, Yi, Xi, _ = volume.shape
+    if pad_shape is not None:
+        pz, py, px = pad_shape
+        volume = jnp.pad(volume, ((0, pz - Zi), (0, py - Yi),
+                                  (0, px - Xi), (0, 0)))
+    if compute_dtype is not None:
+        volume = volume.astype(compute_dtype)
     Z, Y, X, _ = volume.shape
     rz, ry, rx = roi_size
     out = jnp.zeros((Z, Y, X, num_classes), jnp.float32)
@@ -184,7 +198,9 @@ def _sliding_window_jit(volume, starts, wmask, pred_args, predictor,
         return (out, cnt), None
 
     (out, cnt), _ = lax.scan(body, (out, cnt), (starts, wmask))
-    return out / jnp.maximum(cnt, 1e-8)
+    blended = out / jnp.maximum(cnt, 1e-8)
+    # crop the padding off in-graph (saves a host-side slice dispatch)
+    return lax.slice(blended, (0, 0, 0, 0), (Zi, Yi, Xi, num_classes))
 
 
 def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
@@ -226,8 +242,6 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
 
     pz, py, px = (padded(Z, roi_size[0]), padded(Y, roi_size[1]),
                   padded(X, roi_size[2]))
-    vol = jnp.pad(volume[0].astype(jnp.float32),
-                  ((0, pz - Z), (0, py - Y), (0, px - X), (0, 0)))
 
     starts = _scan_starts((pz, py, px), roi_size, overlap)
     sw = max(1, sw_batch_size)
@@ -247,18 +261,27 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
             lambda *a: predictor(*a, jnp.zeros((1, *roi_size, C),
                                                jnp.float32)), *pred_args)
         num_classes = probe.shape[-1]
-    if compute_dtype is not None:
-        vol = vol.astype(compute_dtype)
-    hostloop_args = (vol, jnp.asarray(starts), jnp.asarray(wmask),
-                     jnp.asarray(imp), pred_args, predictor, roi_size, sw,
-                     int(num_classes))
+    def hostloop():
+        vol = jnp.pad(volume[0].astype(jnp.float32),
+                      ((0, pz - Z), (0, py - Y), (0, px - X), (0, 0)))
+        if compute_dtype is not None:
+            vol = vol.astype(compute_dtype)
+        out = _sliding_window_hostloop(
+            vol, jnp.asarray(starts), jnp.asarray(wmask), jnp.asarray(imp),
+            pred_args, predictor, roi_size, sw, int(num_classes))
+        return out[:Z, :Y, :X]
+
     if host_loop:
-        out = _sliding_window_hostloop(*hostloop_args)
+        out = hostloop()
     else:
         try:
+            # squeeze + cast + pad + crop all happen inside the program
+            # (see _sliding_window_jit) — zero extra dispatches per case
             out = _sliding_window_jit(
-                vol, jnp.asarray(starts), jnp.asarray(wmask), pred_args,
-                predictor, roi_size, sw, int(num_classes), mode)
+                volume, jnp.asarray(starts),
+                jnp.asarray(wmask), pred_args, predictor, roi_size, sw,
+                int(num_classes), mode, (pz, py, px),
+                compute_dtype)
         except jax.errors.JaxRuntimeError as e:
             if host_loop is False or "413" not in str(e):
                 raise
@@ -271,8 +294,7 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
                 "rejected by the remote-compile relay (HTTP 413); falling "
                 "back to the per-group host loop. Pass params via "
                 "predictor_args (not closures) to shrink the program.")
-            out = _sliding_window_hostloop(*hostloop_args)
-    out = out[:Z, :Y, :X]
+            out = hostloop()
     return out if squeeze else out[None]
 
 

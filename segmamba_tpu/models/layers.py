@@ -52,6 +52,26 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     return ((x - mean.astype(x.dtype)) * scale.astype(x.dtype)).astype(x.dtype)
 
 
+def _conv_k3s1_acc3(x, kern):
+    """k3 s1 SAME conv as three accumulated conv2ds over shifted z-views.
+
+    Exact (up to summation order) vs the conv3d emitter; avoids both the
+    emitter's low-channel inefficiency (~26-35 Tf/s at the model's decoder
+    shapes) and the conv2d depth-fold's 3x-wide xcat materialization in
+    HBM. Measured 77-92 Tf/s at the hot shapes (bench_conv_acc.py)."""
+    b, d, h, w, cin = x.shape
+    cout = kern.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    y = None
+    for kd in range(3):
+        xi = xp[:, kd:kd + d].reshape(b * d, h, w, cin)
+        yi = jax.lax.conv_general_dilated(
+            xi, kern[kd], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = yi if y is None else y + yi
+    return y.reshape(b, d, h, w, cout)
+
+
 class Conv3d(nn.Module):
     """3-D conv, channels-last, torch-default initialization.
 
@@ -104,7 +124,10 @@ class Conv3d(nn.Module):
                            kern.reshape(kd * kh * kw * cin, self.features))
         elif (ks[0] == ks[1] == ks[2] and ks[0] % 2 == 1
                 and strides == (2, 2, 2) and self.padding == ks[0] // 2
-                and d % 2 == 0):
+                and d % 2 == 0 and h % 2 == 0 and w % 2 == 0):
+            # (even d/h/w only: the conv2d output height at odd h is
+            # floor((h-1)/2)+1 != h//2 and the reshape below would fail —
+            # caught by test_conv3d_matches_torch at (6,7,8))
             # odd-k stride-2 conv (the encoder stem k7 s2 p3) as a conv2d
             # with the depth taps folded into input channels and the depth
             # stride taken by slicing: XLA's conv3d emitter runs the
@@ -128,16 +151,25 @@ class Conv3d(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = y.reshape(b, dout, h // 2, w // 2, self.features)
         elif (ks == (3, 3, 3) and strides == (1, 1, 1) and self.padding == 1
-                and ((d * h * w >= 128 ** 3 and cin <= 96)
-                     or (d * h * w >= 64 ** 3 and cin >= 96)
-                     or (d * h * w >= 32 ** 3 and cin >= 192))):
-            # k3s1 conv as a conv2d with depth folded into batch and the
-            # depth taps folded into input channels: XLA's TPU conv3d
-            # emitter runs the model's low-channel full-resolution convs at
-            # ~27 Tflop/s while the equivalent conv2d runs at ~66 (measured
-            # 9.5 ms vs 4.0 ms for 128^3 x 48ch; also wins at 64^3 for
-            # cin>=96 — 1.6 vs 2.5 ms — and 32^3 for cin>=192; conv3d
-            # stays faster at 64^3/48ch and 32^3/96ch, both measured).
+                and (d * h * w >= 64 ** 3
+                     or (d * h * w >= 32 ** 3 and cin >= 96))
+                and d >= 3 and cin >= 16):
+            # k3s1 conv as THREE accumulated conv2ds over shifted z-views
+            # (depth taps in the loop, not the channel dim): XLA's TPU
+            # conv3d emitter runs the model's low-channel full-resolution
+            # convs at ~26-35 Tflop/s; the earlier conv2d depth-fold (K =
+            # 3*Cin) reached ~51-75 but materializes a 3x-wide xcat in HBM;
+            # accumulating three plain conv2ds keeps the input un-copied
+            # and measured 77-156 Tf/s at the decoder shapes (1.3-3.1x over
+            # the previous dispatch, benchmarks/bench_conv_acc.py). Tiny
+            # cin (the 4-channel enc1 input) stays on the depth-fold form
+            # below — 3 conv2ds at K=4 measured slower (0.49 vs 0.31 ms).
+            y = _conv_k3s1_acc3(x, kern)
+        elif (ks == (3, 3, 3) and strides == (1, 1, 1) and self.padding == 1
+                and d * h * w >= 128 ** 3 and d >= 3):
+            # low-cin full-res conv (enc1's 4->48 at 128^3): conv2d with
+            # the depth taps folded into input channels (K = 3*cin) — the
+            # plain conv3d emitter runs this at ~7 Tf/s, the fold at ~70.
             xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
             xcat = jnp.concatenate([xp[:, kd:kd + d] for kd in range(3)],
                                    axis=-1)

@@ -65,3 +65,33 @@ def test_conv_transpose_matmul_matches_emitter(shape, cout, k):
     assert y.shape == ref.shape
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv_k3s1_acc3_matches_emitter():
+    """The accumulated-conv2d form (dispatched at >=64^3 on TPU, so never
+    reached by the small-shape dispatch tests above) must match the plain
+    conv3d emitter bit-for-tolerance at f32."""
+    from segmamba_tpu.models.layers import _conv_k3s1_acc3
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 5, 6, 7, 4)), jnp.float32)
+    kern = jnp.asarray(0.1 * rng.standard_normal((3, 3, 3, 4, 5)),
+                       jnp.float32)
+    ref = _conv_ref(x, kern, (1, 1, 1), 1)
+    got = _conv_k3s1_acc3(x, kern)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3d_stride2_odd_spatial():
+    """Odd h/w must fall back to the emitter (the depth-fold branch's
+    reshape assumed even dims; regression for the (6,7,8) failure)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 6, 7, 8, 3)), jnp.float32)
+    m = Conv3d(5, 3, 2, 1, use_bias=False)
+    params = m.init(jax.random.key(0), x)
+    y = m.apply(params, x)
+    ref = _conv_ref(x, params["params"]["kernel"], (2, 2, 2), 1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
