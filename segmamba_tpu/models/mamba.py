@@ -202,6 +202,47 @@ class MambaV3(nn.Module):
             rep(D3.astype(jnp.float32)), rep(dt_bias3.astype(jnp.float32)),
             chunk_size=self.scan_chunk)
 
+    def _run_directions_proj(self, xz, psets, nslices):
+        """Projection-fused chain (ops/scan_pallas_proj.py): per direction
+        the scan kernel itself computes x_proj/dt_proj on the MXU and the
+        three orientations CHAIN through an in-kernel accumulator — the
+        slice and reverse orientations emit ungated partial sums, the
+        forward orientation adds them and applies the shared silu(z) gate
+        once. Per MambaLayer the large HBM traffic drops to: conv output
+        read once per direction, z read once, output written once (the
+        reference fuses the same ops into one autograd node,
+        selective_scan_interface.py:155-224). Requires d_inner <= 128."""
+        from segmamba_tpu.ops.causal_conv1d import causal_conv1d_directional
+        from segmamba_tpu.ops.scan_pallas_proj import mamba_scan_proj
+
+        use_slice = len(psets) == 3
+        conv_w3 = jnp.stack([ps[0] for ps in psets])
+        conv_b3 = (None if psets[0][1] is None
+                   else jnp.stack([ps[1] for ps in psets]))
+        d_inner = xz.shape[-1] // 2
+        x, z = xz[..., :d_inner], xz[..., d_inner:]
+
+        xc = causal_conv1d_directional(
+            x, conv_w3.astype(self.dtype),
+            None if conv_b3 is None else conv_b3.astype(self.dtype),
+            activation="silu",
+            nslices=nslices if use_slice else None)  # (g, b, L, d_inner)
+
+        def run(g, xc_g, **kw):
+            _, _, x_proj, dt_proj, dt_bias, A_log, D = psets[g]
+            A = -jnp.exp(A_log.astype(jnp.float32))
+            return mamba_scan_proj(
+                xc_g, x_proj.astype(self.dtype), dt_proj.astype(self.dtype),
+                dt_bias.astype(jnp.float32), A, D.astype(jnp.float32),
+                chunk_size=self.scan_chunk, **kw)
+
+        acc = None
+        if use_slice:
+            y_s = run(2, slice_interleave(xc[2], nslices))
+            acc = slice_deinterleave(y_s, nslices)
+        acc = run(1, xc[1], reverse=True, acc=acc)
+        return run(0, xc[0], acc=acc, z=z)
+
     def _run_directions_dir(self, xz, psets, batch, nslices):
         """Forward + flip orientations over the ORIGINAL layout — no
         flip/concat copies: the conv handles direction algebraically
@@ -326,12 +367,23 @@ class MambaV3(nn.Module):
         # flip-and-batch path at both model stages (benchmarks/
         # bench_dirpath.py: 24.4 vs 25.4 ms stage0, 4.55 vs 5.22 stage1).
         # ``scan_impl="fused"`` keeps the batched form explicitly.
-        use_dir = not use_sp and not use_tp and (
-            self.scan_impl == "dir"
+        # ``scan_impl="proj"`` opts into the projection-fused chain
+        # (scan_pallas_proj.py): exact, smaller backward footprint (no
+        # (nd,R,N,L) dB/dC buffers), but measured 6% SLOWER than dir at
+        # stage-0 — the scan is VPU-bound, so the in-kernel MXU projections
+        # serialize onto the critical path (benchmarks/bench_proj.py).
+        use_dirlike = not use_sp and not use_tp and (
+            self.scan_impl in ("dir", "proj")
             or (self.scan_impl in ("auto", "pallas")
                 and jax.default_backend() == "tpu"))
-        use_batched = (not use_sp and not use_dir and not use_tp
-                       and self.scan_impl == "fused")
+        use_proj = False
+        if use_dirlike and self.scan_impl == "proj":
+            from segmamba_tpu.ops.scan_pallas_proj import proj_scan_supported
+
+            use_proj = proj_scan_supported(d_inner)
+        use_dir = use_dirlike and not use_proj
+        use_batched = (not use_sp and not use_dir and not use_proj
+                       and not use_tp and self.scan_impl == "fused")
         if use_sp:
             # sequence-parallel path: the flip direction runs in-place as a
             # reversed sharded scan (no flipped copy crosses devices); the
@@ -344,6 +396,9 @@ class MambaV3(nn.Module):
                 out_s = self._run_direction_sharded(
                     slice_interleave(xz, nslices), p_s, False, sp_batch_axis)
                 combined = combined + slice_deinterleave(out_s, nslices)
+        elif use_proj:
+            psets = [p_f, p_b] + ([p_s] if use_slice else [])
+            combined = self._run_directions_proj(xz, psets, nslices)
         elif use_dir:
             psets = [p_f, p_b] + ([p_s] if use_slice else [])
             combined = self._run_directions_dir(xz, psets, b, nslices)
