@@ -10,13 +10,18 @@ pass (no TTA), roi 128^3 / overlap 0.5 / gaussian blending / sw_batch 1
 The full 8x-mirror-TTA eval protocol (4_predict.py:55-62) is measured
 separately by benchmarks/bench_tta.py.
 
-Extra fields (VERDICT r3 items 3 & 7):
+Extra fields (VERDICT r3 items 3 & 7; r4 items 2 & 6):
 - ``mfu``: achieved model FLOP/s over the case divided by the chip's peak
   bf16 FLOP/s — model FLOPs from XLA's own cost analysis of the compiled
   128^3 forward, times the number of sliding windows per case.
-- ``train_step_sec``: jitted train step at the reference recipe shape
-  (batch 2 x 128^3, bf16, device augmentation on), so training perf is
-  tracked round-over-round like inference.
+- ``tta_sec_per_case``: the reference's ACTUAL eval protocol — 8x mirror
+  TTA (4_predict.py:55-62, light_training/prediction.py:110-159) — run as
+  window-level TTA inside one fused program (infer/sliding_window.py
+  ``tta_flips``; exact vs the volume-level form at this bucketed shape,
+  whose window grid is mirror-closed).
+- ``train_step_sec`` / ``train_mfu``: jitted train step at the reference
+  recipe shape (batch 2 x 128^3, bf16, device augmentation on), seconds
+  and model-FLOP utilization (XLA-counted FLOPs of the compiled step).
 """
 
 import json
@@ -82,12 +87,16 @@ def main():
 
     import sys
 
-    def run(host_loop):
+    def run(host_loop, tta=None):
+        # in_graph_pad=True: fixed-shape serving mode (one dispatch/case;
+        # the bench repeats one case shape, so the per-shape compile is
+        # paid once — a varied dataset uses the default host-pad mode)
         from segmamba_tpu.infer.sliding_window import sliding_window_inference
         return float(fetch(sliding_window_inference(
             case, inferer.roi_size, predictor, overlap=inferer.overlap,
             sw_batch_size=inferer.sw_batch_size, num_classes=4,
-            host_loop=host_loop, predictor_args=(params,))))
+            host_loop=host_loop, predictor_args=(params,),
+            in_graph_pad=None if host_loop else True, tta_flips=tta)))
 
     # A/B the fused single-program path against the per-group host loop and
     # report whichever is faster on this chip (the fused path removes
@@ -129,9 +138,25 @@ def main():
     except Exception as e:
         print(f"# mfu unavailable: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # --- the reference's real eval protocol: 8x mirror TTA, window-level
+    # (one fused program per case; exact at this mirror-closed grid)
+    tta_sec = None
+    try:
+        run(False, tta=(0, 1, 2))  # compile
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(False, tta=(0, 1, 2))
+            times.append(time.perf_counter() - t0)
+        tta_sec = min(times)
+        print(f"# tta8: {tta_sec:.3f} s/case", file=sys.stderr)
+    except Exception as e:
+        print(f"# tta unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+
     # --- train step at the reference recipe shape (trainer.py:422-483 hot
     # loop): batch 2 x 128^3 bf16, device augmentation, poly-LR SGD.
     train_step_sec = None
+    train_mfu = None
     try:
         from segmamba_tpu.train.train_state import (create_train_state,
                                                     train_step)
@@ -159,6 +184,20 @@ def main():
             times.append(time.perf_counter() - t0)
         train_step_sec = min(times)
         print(f"# train_step: {train_step_sec:.3f} s", file=sys.stderr)
+        try:
+            from segmamba_tpu.train.train_state import _train_step
+            lowered = _train_step.lower(tstate, batch, 4, "ce", True,
+                                        jax.random.key(9))
+            ca = lowered.compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            train_flops = float(ca["flops"])
+            train_mfu = (train_flops / train_step_sec
+                         / _peak_flops(jax.devices()[0]))
+            print(f"# train flops={train_flops:.3e} mfu={train_mfu:.4f}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# train mfu unavailable: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     except Exception as e:
         print(f"# train_step unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -171,8 +210,12 @@ def main():
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    if tta_sec is not None:
+        out["tta_sec_per_case"] = round(tta_sec, 3)
     if train_step_sec is not None:
         out["train_step_sec"] = round(train_step_sec, 3)
+    if train_mfu is not None:
+        out["train_mfu"] = round(train_mfu, 4)
     print(json.dumps(out))
 
 

@@ -10,6 +10,15 @@ HBM, a ``lax.scan`` walks window batches, windows are gathered with
 ``dynamic_update_slice``. One compile per padded volume shape; volumes are
 padded up to a shape bucket (multiple of ``bucket``) so a whole dataset
 reuses a handful of compiles instead of one per case.
+
+Two dispatch/compile trade-offs for the fused single-program path, selected
+by ``in_graph_pad``: with host-side padding (the default for varying case
+shapes) the program is keyed on the BUCKETED shape, so a dataset of
+per-case bbox-cropped volumes (the 4_predict.py flow) shares a handful of
+compiles at the cost of two extra device dispatches per case (pad, crop);
+with in-graph padding (fixed-shape serving, e.g. a benchmark repeating one
+case) the whole case is exactly ONE dispatch but the program is keyed on
+the exact unpadded shape — every new case shape recompiles.
 """
 
 from __future__ import annotations
@@ -100,7 +109,7 @@ def _scatter_all(logits_all, starts, wmask, importance, vol_shape,
 
 def _sliding_window_hostloop(volume, starts, wmask, importance, pred_args,
                              predictor, roi_size, sw_batch_size,
-                             num_classes):
+                             num_classes, tta_flips=None):
     """Python loop over window groups issuing two small device programs
     per group (gather / model forward), then ONE scatter program over all
     collected logits. The split is forced where jit programs travel a
@@ -116,7 +125,20 @@ def _sliding_window_hostloop(volume, starts, wmask, importance, pred_args,
     for g in range(starts.shape[0]):
         s = jnp.asarray(starts[g])
         wins = _gather_group(volume, s, roi_size)
-        logits.append(predictor(*pred_args, wins).astype(jnp.float32))
+        if tta_flips:
+            import itertools
+            combos = [()]
+            for r in range(1, len(tta_flips) + 1):
+                combos.extend(itertools.combinations(tta_flips, r))
+            acc = 0.0
+            for c in combos:
+                ax = tuple(a + 1 for a in c)
+                w = jnp.flip(wins, ax) if ax else wins
+                o = predictor(*pred_args, w).astype(jnp.float32)
+                acc = acc + (jnp.flip(o, ax) if ax else o)
+            logits.append(acc / len(combos))
+        else:
+            logits.append(predictor(*pred_args, wins).astype(jnp.float32))
     return _scatter_all(jnp.stack(logits), jnp.asarray(starts),
                         jnp.asarray(wmask), imp, (Z, Y, X), sw_batch_size)
 
@@ -143,13 +165,47 @@ def _importance_device(roi_size, mode, dtype=jnp.float32):
     return m.astype(dtype)[..., None]
 
 
+def _tta_predict(predictor, pred_args, wins, tta_flips):
+    """Mean over mirror flips of ``unflip(predictor(flip(wins)))`` — the
+    reference's 8-combination mirror TTA (prediction.py:110-159) applied
+    PER WINDOW instead of per volume pass. ``lax.fori_loop`` + ``switch``
+    keep ONE copy of the model graph in the program (the fused case
+    program must fit the remote-compile relay's size cap).
+
+    Exact vs the volume-level protocol when the window grid is mirror-
+    closed in every flipped dim (each start s has its mirror im-roi-s in
+    the grid — true for the BraTS bucket shapes); otherwise it is the same
+    8-flip average computed on a mirrored window grid."""
+    axes_combos = [()]
+    import itertools
+    for r in range(1, len(tta_flips) + 1):
+        axes_combos.extend(itertools.combinations(tta_flips, r))
+    # spatial dims of (sw, rz, ry, rx, C) windows are 1..3
+    combos = [tuple(a + 1 for a in c) for c in axes_combos]
+
+    def flipped(i, w):
+        return lax.switch(i, [
+            (lambda w, c=c: jnp.flip(w, c) if c else w) for c in combos], w)
+
+    def body(i, acc):
+        out = predictor(*pred_args, flipped(i, wins)).astype(jnp.float32)
+        return acc + flipped(i, out)
+
+    acc = lax.fori_loop(0, len(combos), body,
+                        jnp.zeros(jax.eval_shape(
+                            lambda w: predictor(*pred_args, w),
+                            wins).shape, jnp.float32))
+    return acc / len(combos)
+
+
 @functools.partial(jax.jit, static_argnames=("predictor", "roi_size",
                                              "sw_batch_size", "num_classes",
                                              "mode", "pad_shape",
-                                             "compute_dtype"))
+                                             "compute_dtype", "tta_flips"))
 def _sliding_window_jit(volume, starts, wmask, pred_args, predictor,
                         roi_size, sw_batch_size, num_classes,
-                        mode="gaussian", pad_shape=None, compute_dtype=None):
+                        mode="gaussian", pad_shape=None, compute_dtype=None,
+                        tta_flips=None):
     """volume: (Z, Y, X, C) UNPADDED; starts: (n_groups, sw, 3); wmask same
     leading. Padding to ``pad_shape`` and the final crop back both happen
     IN-GRAPH: through the remote-compile relay every extra dispatch costs
@@ -162,6 +218,10 @@ def _sliding_window_jit(volume, starts, wmask, pred_args, predictor,
     413) and bloats compile cache keys. As arguments they are just entry
     parameters."""
     if volume.ndim == 5:  # (1, Z, Y, X, C): squeeze in-graph (free)
+        if volume.shape[0] != 1:
+            raise ValueError(
+                "sliding_window_inference expects batch size 1, got "
+                f"volume shape {volume.shape}; run cases one at a time")
         volume = volume.reshape(volume.shape[1:])
     volume = volume.astype(jnp.float32)
     Zi, Yi, Xi, _ = volume.shape
@@ -186,7 +246,10 @@ def _sliding_window_jit(volume, starts, wmask, pred_args, predictor,
         out, cnt = carry
         s, m = group                       # (sw, 3), (sw,)
         wins = jax.vmap(gather)(s)         # (sw, rz, ry, rx, C)
-        logits = predictor(*pred_args, wins).astype(jnp.float32)
+        if tta_flips:
+            logits = _tta_predict(predictor, pred_args, wins, tta_flips)
+        else:
+            logits = predictor(*pred_args, wins).astype(jnp.float32)
         w = imp[None] * m[:, None, None, None, None]
         contrib = logits * w
         for i in range(sw_batch_size):
@@ -206,7 +269,8 @@ def _sliding_window_jit(volume, starts, wmask, pred_args, predictor,
 def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
                              sw_batch_size=2, num_classes=None, bucket=32,
                              mode="gaussian", host_loop=None,
-                             compute_dtype=None, predictor_args=None):
+                             compute_dtype=None, predictor_args=None,
+                             in_graph_pad=None, tta_flips=None):
     """Gaussian-blended sliding-window prediction.
 
     Args:
@@ -216,6 +280,21 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
       predictor: callable (B, *roi, C) -> (B, *roi, K) logits (jit-traceable).
       bucket:    volumes are zero-padded up to multiples of this so that jit
                  compiles are shared across similarly-sized cases.
+      in_graph_pad: True = pad/crop inside the fused program (ONE dispatch
+                 per case, but the compile is keyed on the exact case shape
+                 — use for fixed-shape serving). False = pad on host so the
+                 compile is keyed on the bucketed shape (shared across a
+                 varied dataset, two extra dispatches per case). None
+                 (default) = auto: in-graph only when the case shape already
+                 equals its bucket (then both keys coincide).
+      tta_flips: optional tuple of spatial axes (subset of (0, 1, 2)) for
+                 WINDOW-LEVEL mirror TTA: each window's prediction becomes
+                 the mean over all flip combinations of
+                 ``unflip(predictor(flip(window)))``, inside the same fused
+                 program (the reference's eval protocol,
+                 light_training/prediction.py:110-159, without re-running
+                 the whole sliding window per flip). See ``_tta_predict``
+                 for the exactness condition vs the volume-level form.
       compute_dtype: optional dtype the device volume is cast to (e.g.
                  ``jnp.bfloat16`` when the predictor computes in bf16 anyway
                  — halves the fused program's input bytes, which matters on
@@ -261,6 +340,8 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
             lambda *a: predictor(*a, jnp.zeros((1, *roi_size, C),
                                                jnp.float32)), *pred_args)
         num_classes = probe.shape[-1]
+    tta = tuple(tta_flips) if tta_flips else None
+
     def hostloop():
         vol = jnp.pad(volume[0].astype(jnp.float32),
                       ((0, pz - Z), (0, py - Y), (0, px - X), (0, 0)))
@@ -268,20 +349,33 @@ def sliding_window_inference(volume, roi_size, predictor, overlap=0.5,
             vol = vol.astype(compute_dtype)
         out = _sliding_window_hostloop(
             vol, jnp.asarray(starts), jnp.asarray(wmask), jnp.asarray(imp),
-            pred_args, predictor, roi_size, sw, int(num_classes))
+            pred_args, predictor, roi_size, sw, int(num_classes), tta)
         return out[:Z, :Y, :X]
+
+    if in_graph_pad is None:
+        in_graph_pad = (Z, Y, X) == (pz, py, px)
 
     if host_loop:
         out = hostloop()
     else:
         try:
-            # squeeze + cast + pad + crop all happen inside the program
-            # (see _sliding_window_jit) — zero extra dispatches per case
-            out = _sliding_window_jit(
-                volume, jnp.asarray(starts),
-                jnp.asarray(wmask), pred_args, predictor, roi_size, sw,
-                int(num_classes), mode, (pz, py, px),
-                compute_dtype)
+            if in_graph_pad:
+                # squeeze + cast + pad + crop all inside the program — zero
+                # extra dispatches per case; compile keyed on (Z, Y, X)
+                out = _sliding_window_jit(
+                    volume, jnp.asarray(starts),
+                    jnp.asarray(wmask), pred_args, predictor, roi_size, sw,
+                    int(num_classes), mode, (pz, py, px),
+                    compute_dtype, tta)
+            else:
+                # host-side pad: the fused program sees only the bucketed
+                # shape, so a dataset of varying case shapes shares compiles
+                vol = jnp.pad(volume[0], ((0, pz - Z), (0, py - Y),
+                                          (0, px - X), (0, 0)))
+                out = _sliding_window_jit(
+                    vol, jnp.asarray(starts), jnp.asarray(wmask), pred_args,
+                    predictor, roi_size, sw, int(num_classes), mode, None,
+                    compute_dtype, tta)[:Z, :Y, :X]
         except jax.errors.JaxRuntimeError as e:
             if host_loop is False or "413" not in str(e):
                 raise

@@ -170,3 +170,73 @@ def test_convert_labels_brats():
     np.testing.assert_array_equal(out[0], [[0, 1, 0, 1]])  # TC
     np.testing.assert_array_equal(out[1], [[0, 1, 1, 1]])  # WT
     np.testing.assert_array_equal(out[2], [[0, 0, 0, 1]])  # ET
+
+
+def test_window_tta_matches_volume_tta():
+    """Window-level TTA (tta_flips inside the fused program) equals the
+    volume-level 8-pass protocol (prediction.py:110-159 semantics) when the
+    window grid is mirror-closed — here 24^3 / roi 16 / overlap .5 gives
+    starts {0, 8} per dim, and mirror(0) = 24-16-0 = 8 is in the grid."""
+    rng = np.random.default_rng(11)
+    vol = jnp.asarray(rng.standard_normal((1, 24, 24, 24, 2)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((2, 3, 3)), jnp.float32)
+
+    def conv_ish(wins):
+        # flip-sensitive predictor: causal shift + channel mix
+        shifted = jnp.pad(wins, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+                          )[:, :-1]
+        return (jnp.einsum("bzyxc,ckj->bzyxkj", wins, w).sum(-1)
+                + 0.3 * jnp.einsum("bzyxc,ckj->bzyxkj", shifted, w).sum(-2))
+
+    kw = dict(overlap=0.5, sw_batch_size=1, bucket=8)
+    axes = (0, 1, 2)
+    import itertools
+    acc = sliding_window_inference(vol, (16, 16, 16), conv_ish, **kw)
+    n = 1
+    for r in range(1, 4):
+        for combo in itertools.combinations(axes, r):
+            ax = tuple(a + 1 for a in combo)
+            out = sliding_window_inference(jnp.flip(vol, ax), (16, 16, 16),
+                                           conv_ish, **kw)
+            acc = acc + jnp.flip(out, ax)
+            n += 1
+    volume_level = acc / n
+
+    window_level = sliding_window_inference(vol, (16, 16, 16), conv_ish,
+                                            tta_flips=axes, **kw)
+    np.testing.assert_allclose(np.asarray(window_level),
+                               np.asarray(volume_level), rtol=1e-5,
+                               atol=1e-5)
+
+    # hostloop TTA path agrees with the fused TTA path
+    window_hl = sliding_window_inference(vol, (16, 16, 16), conv_ish,
+                                         tta_flips=axes, host_loop=True,
+                                         **kw)
+    np.testing.assert_allclose(np.asarray(window_hl),
+                               np.asarray(window_level), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_in_graph_pad_paths_agree():
+    """auto (host-pad, bucket-keyed compile) vs in_graph_pad=True (case-
+    shape-keyed, one dispatch) produce identical results."""
+    rng = np.random.default_rng(12)
+    vol = jnp.asarray(rng.standard_normal((1, 20, 24, 18, 2)), jnp.float32)
+
+    def pointwise(wins):
+        return wins * 1.5 + 0.25
+
+    kw = dict(overlap=0.5, sw_batch_size=1, bucket=8)
+    a = sliding_window_inference(vol, (16, 16, 16), pointwise,
+                                 in_graph_pad=True, **kw)
+    b = sliding_window_inference(vol, (16, 16, 16), pointwise,
+                                 in_graph_pad=None, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_sliding_window_batch2_raises():
+    vol = jnp.zeros((2, 16, 16, 16, 1), jnp.float32)
+    with pytest.raises(ValueError, match="batch size 1"):
+        sliding_window_inference(vol, (16, 16, 16), lambda w: w,
+                                 in_graph_pad=True, bucket=16)
