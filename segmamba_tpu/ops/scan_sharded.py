@@ -44,7 +44,12 @@ def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None):
     "seq"). Restricting the manual set leaves the other axes to GSPMD,
     which inserts the correct collectives around the manual region.
     """
-    kwargs = {}
+    # check_vma=False: varying-mesh-axes tracking rejects pallas_call
+    # bodies (their out_shape carries no vma annotation), and the Pallas
+    # scan core inside shard_map is exactly the composition real multichip
+    # hardware runs. out_specs here are exact, so the unchecked mode is
+    # numerically identical (parallel/pp.py makes the same call).
+    kwargs = {"check_vma": False}
     if axis_names is not None:
         kwargs["axis_names"] = set(axis_names)
     try:
@@ -56,7 +61,7 @@ def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None):
         except ImportError:  # pragma: no cover
             from jax.experimental.shard_map import shard_map
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs)
+                         out_specs=out_specs, check_rep=False)
 
 
 def causal_conv1d_sharded_local(x, weight, bias, axis_name, activation=None,

@@ -27,6 +27,8 @@ n_layer Mamba blocks).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -216,7 +218,8 @@ def _encoder_stage_fns(model, vit_params, in_spatial):
 
 def pipeline_segmamba_encoder(model, variables, x, mesh: Mesh,
                               axis: str = "pipe",
-                              n_microbatches: int | None = None):
+                              n_microbatches: int | None = None,
+                              data_axis: str | None = None):
     """Pipeline-parallel MambaEncoder forward: x (batch, D, H, W, C) ->
     the 4 per-stage head outputs, numerically equal to
     ``MambaEncoder.apply`` (exact at f32; bf16 models see only the usual
@@ -235,17 +238,34 @@ def pipeline_segmamba_encoder(model, variables, x, mesh: Mesh,
     Load balance note: GPipe correctness, not load balance, is the goal —
     SegMamba's stage-0 dominates wall time (~50% of the encoder), so equal
     per-stage speedup is not expected at these depths.
+
+    ``data_axis``: optional second mesh axis for DP x PP — the microbatch
+    dim is sharded over it (each data-parallel pipeline replica streams its
+    own slice of every microbatch; the gradient mean over ``data_axis`` is
+    inserted by GSPMD outside this function).
     """
     vit = variables["params"]["vit"]
     n_stages = mesh.shape[axis]
     if n_stages != 4:
         raise ValueError(f"SegMamba encoder pipeline needs a 4-stage "
                          f"'{axis}' axis, got {n_stages}")
+    if any(d % 16 for d in x.shape[1:4]):
+        # each of stem + 3 downsamples halves the spatial dims exactly; a
+        # non-multiple-of-16 input would silently disagree with the
+        # precomputed handoff shapes inside lax.switch (opaque reshape
+        # error) although the sequential encoder pads such inputs fine
+        raise ValueError(f"pipelined encoder needs spatial dims divisible "
+                         f"by 16, got {x.shape[1:4]}")
     batch = x.shape[0]
     n_micro = n_microbatches or batch
     if batch % n_micro != 0:
         raise ValueError(f"batch {batch} not divisible by {n_micro}")
     mb = batch // n_micro
+    n_data = mesh.shape[data_axis] if data_axis is not None else 1
+    if mb % n_data:
+        raise ValueError(f"microbatch size {mb} not divisible by "
+                         f"data axis size {n_data}")
+    mb_l = mb // n_data  # per-replica microbatch size inside shard_map
 
     fns, in_shapes, hand_shapes, out_shapes = _encoder_stage_fns(
         model, vit, x.shape[1:4])
@@ -255,12 +275,12 @@ def pipeline_segmamba_encoder(model, variables, x, mesh: Mesh,
     act_dt = x.dtype if model.dtype is None else model.dtype
 
     def flat(h, F):
-        f = h.reshape(mb, -1)
+        f = h.reshape(mb_l, -1)
         return jnp.pad(f, ((0, 0), (0, F - f.shape[1]))).astype(act_dt)
 
     def unflat(buf, sh):
         (sz, sy, sx_), c = sh
-        return buf[:, :sz * sy * sx_ * c].reshape(mb, sz, sy, sx_, c)
+        return buf[:, :sz * sy * sx_ * c].reshape(mb_l, sz, sy, sx_, c)
 
     x_all = x.reshape(n_micro, mb, *x.shape[1:])
 
@@ -278,8 +298,12 @@ def pipeline_segmamba_encoder(model, variables, x, mesh: Mesh,
             return run
 
         branches = [branch(i) for i in range(n_stages)]
-        buf = jnp.zeros((mb, F_hand), act_dt)
-        outs = jnp.zeros((n_stages, n_micro, mb, F_out), act_dt)
+        buf = jnp.zeros((mb_l, F_hand), act_dt)
+        # each device carries ONLY its own stage's output row; the rows are
+        # assembled by an all_gather over the pipe axis after the scan (a
+        # 4x-smaller scan carry and collective than the earlier masked-psum
+        # of a (n_stages, ...) buffer)
+        outs = jnp.zeros((n_micro, mb_l, F_out), act_dt)
 
         def step(carry, t):
             buf, outs = carry
@@ -289,19 +313,16 @@ def pipeline_segmamba_encoder(model, variables, x, mesh: Mesh,
             nbuf = lax.ppermute(hand, axis, perm)
             m = jnp.clip(t - stage, 0, n_micro - 1)
             valid = (t >= stage) & (t - stage <= n_micro - 1)
-            cur = outs[stage, m]
-            outs = outs.at[stage, m].set(jnp.where(valid, out, cur))
+            outs = outs.at[m].set(jnp.where(valid, out, outs[m]))
             return (nbuf, outs), None
 
         (_, outs), _ = lax.scan(step, (buf, outs), jnp.arange(ticks))
-        # every stage holds only its own row; psum assembles all four
-        row = lax.broadcasted_iota(jnp.int32, (n_stages, 1, 1, 1), 0)
-        outs = lax.psum(jnp.where(row == stage, outs,
-                                  jnp.zeros_like(outs)), axis)
-        return outs
+        return lax.all_gather(outs, axis)    # (n_stages, n_micro, mb_l, F)
 
-    outs = shard_map(pp_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
-                     check_rep=False)(x_all)
+    in_spec = P(None, data_axis)
+    out_spec = P(None, None, data_axis)
+    outs = shard_map(pp_fn, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec, check_rep=False)(x_all)
     result = []
     for i in range(4):
         oi = outs[i].reshape(n_micro * mb, F_out)[:batch]
@@ -316,15 +337,18 @@ def unflat_batch(buf, sh, batch):
 
 def pipeline_segmamba_logits(model, variables, x, mesh: Mesh,
                              axis: str = "pipe",
-                             n_microbatches: int | None = None):
+                             n_microbatches: int | None = None,
+                             data_axis: str | None = None):
     """Full SegMamba forward with the encoder pipelined over ``axis`` and
-    the UNETR decoder replicated (segmamba.py:195-343 wiring)."""
+    the UNETR decoder replicated over it (segmamba.py:195-343 wiring).
+    With ``data_axis`` the batch additionally shards over that axis (the
+    decoder follows the activations' data sharding under GSPMD)."""
     from segmamba_tpu.models.unetr_blocks import (UnetOutBlock,
                                                   UnetrBasicBlock,
                                                   UnetrUpBlock)
 
     outs = pipeline_segmamba_encoder(model, variables, x, mesh, axis,
-                                     n_microbatches)
+                                     n_microbatches, data_axis)
     p = variables["params"]
     f = model.feat_size
     dt = model.dtype
@@ -342,3 +366,55 @@ def pipeline_segmamba_logits(model, variables, x, mesh: Mesh,
     out = ap(UnetrBasicBlock(f[0], dtype=dt), "decoder1", dec0)
     logits = ap(UnetOutBlock(model.out_chans, dtype=dt), "out", out)
     return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# pipelined train step (PP and DP x PP)
+# ---------------------------------------------------------------------------
+
+@_functools.lru_cache(maxsize=None)
+def _pp_step_fn(model, mesh, axis, data_axis, num_classes, loss,
+                n_microbatches):
+    import optax
+
+    from segmamba_tpu.train.train_state import make_loss_fn
+
+    loss_fn = make_loss_fn(loss, num_classes)
+
+    @_functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch):
+        def compute_loss(params):
+            logits = pipeline_segmamba_logits(
+                model, params, batch["image"], mesh, axis, n_microbatches,
+                data_axis)
+            return loss_fn(logits, batch["label"])
+
+        loss_val, grads = jax.value_and_grad(compute_loss)(state.params)
+        gnorm = optax.global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss_val, "grad_norm": gnorm}
+
+    return step
+
+
+def pp_train_step(state, batch, model, mesh: Mesh, *, axis: str = "pipe",
+                  data_axis: str | None = None, num_classes: int = 4,
+                  loss: str = "ce", n_microbatches: int | None = None):
+    """One optimization step with the SegMamba encoder pipelined over
+    ``axis`` (and the batch sharded over ``data_axis`` when given): loss,
+    gradients, and the optax update all run under the pipe mesh — the
+    backward streams through the same GPipe schedule (ppermute transposes
+    itself under AD), and with DP the gradient mean over ``data_axis`` is
+    inserted by GSPMD. Matches ``train_step``'s contract (same loss recipe,
+    grad-clip 12 SGD chain; reference hot loop trainer.py:422-483 — the
+    reference itself has no PP, SURVEY.md §2.6).
+    """
+    if data_axis is not None:
+        from jax.sharding import NamedSharding
+
+        s = NamedSharding(mesh, P(data_axis))
+        batch = jax.tree_util.tree_map(
+            lambda v: jax.device_put(v, s), batch)
+    step = _pp_step_fn(model, mesh, axis, data_axis, num_classes, loss,
+                       n_microbatches)
+    return step(state, batch)

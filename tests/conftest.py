@@ -54,6 +54,21 @@ def pytest_configure(config):
         "markers",
         "heavy: multi-minute XLA:CPU compiles; skipped on a cold compile "
         "cache unless RUN_HEAVY=1")
+    config.addinivalue_line(
+        "markers",
+        "smoke: cold-machine verification tier (pytest -m smoke): the "
+        "torch-parity forward, training-dynamics parity, and sharded-grad "
+        "tests at tiny shapes — target <5 min on a cold compile cache")
+    if "smoke" in (getattr(config.option, "markexpr", "") or ""):
+        # smoke runs on cold machines: drop LLVM's expensive passes so the
+        # XLA:CPU compiles fit the budget (same flag the driver dry-run
+        # uses; numerics are unaffected, only codegen optimization level).
+        # Safe here because the backend client is created lazily at first
+        # device use, which happens after configure.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "llvm_disable_expensive_passes" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_llvm_disable_expensive_passes=true").strip()
 
 
 def pytest_collection_modifyitems(config, items):

@@ -115,6 +115,7 @@ def test_train_step_runs_and_descends(tiny_setup):
     assert int(state.step) == 3
 
 
+@pytest.mark.smoke
 def test_train_step_sharded_matches_single(tiny_setup):
     """DP over the 8-device CPU mesh must be numerically equivalent to
     single-device execution (same global batch)."""
