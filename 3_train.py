@@ -162,7 +162,7 @@ def main():
                      feat_size=tuple(args.feats),
                      hidden_size=args.hidden_size,
                      num_slices_list=tuple(args.num_slices), dtype=dtype,
-                     remat=True, **sp_kw)
+                     remat="convs", **sp_kw)
     trainer = BraTSTrainer(
         model, args.logdir, max_epochs=args.max_epochs,
         batch_size=args.batch_size, val_every=args.val_every,

@@ -161,7 +161,7 @@ def main():
         from segmamba_tpu.train.train_state import (create_train_state,
                                                     train_step)
         tmodel = SegMamba(in_chans=4, out_chans=4, dtype=jnp.bfloat16,
-                          remat=True)
+                          remat="convs")
         tstate = create_train_state(tmodel, jax.random.key(0), x128,
                                     learning_rate=1e-2)
         batch = {

@@ -58,7 +58,7 @@ def main():
     train_ds, _, _ = get_train_val_test_loader_from_train(
         data_dir, train_rate=0.6, val_rate=0.2, test_rate=0.2)
 
-    model = SegMamba(in_chans=4, out_chans=4, dtype=jnp.bfloat16, remat=True)
+    model = SegMamba(in_chans=4, out_chans=4, dtype=jnp.bfloat16, remat="convs")
     P = args.patch
     sample = jnp.zeros((1, P, P, P, 4), jnp.float32)
     key = jax.random.key(7)

@@ -87,7 +87,7 @@ def main():
         data_dir = make_cases(args.dir)
 
     epochs = -(-args.steps // args.steps_per_epoch)
-    model = SegMamba(in_chans=4, out_chans=4, dtype=jnp.bfloat16, remat=True)
+    model = SegMamba(in_chans=4, out_chans=4, dtype=jnp.bfloat16, remat="convs")
     trainer = Trainer(
         model, os.path.join(args.dir, "logs"), max_epochs=epochs,
         batch_size=2, val_every=max(2, epochs // 2),

@@ -243,6 +243,60 @@ class MambaV3(nn.Module):
         acc = run(1, xc[1], reverse=True, acc=acc)
         return run(0, xc[0], acc=acc, z=z)
 
+    def _run_directions_dir2(self, xz, psets, batch, nslices):
+        """Chained direction composition (ops/scan_pallas_dir2.py): the
+        slice and reverse orientations emit ungated partials through the
+        kernel's ``acc`` operand and the forward orientation applies the
+        shared silu(z) gate once — z is read once per MambaLayer and the
+        partial-output adds fuse into the kernels (VERDICT r4 item 1's
+        realizable form; a single-walk two-carry kernel cannot carry both
+        directions — see benchmarks/bench_dir2.py). Projections stay as
+        XLA einsums (the in-kernel MXU form measured slower,
+        scan_pallas_proj.py). Two rejected variants are recorded in
+        bench_dir2.py: a (T, N, Dblk) time-leading kernel layout (slower
+        despite cheaper shifts) and routing the SLICE orientation through
+        the chain via interleaved xc/dt/B/C (slower than mamba_inner on
+        interleaved xz) — so the slice orientation keeps the dir path's
+        form, gated separately, and only rev->fwd chain."""
+        from segmamba_tpu.ops.causal_conv1d import causal_conv1d_directional
+        from segmamba_tpu.ops.scan_pallas_dir import mamba_scan_fused_dir
+
+        use_slice = len(psets) == 3
+        conv_w3, conv_b3, x_proj3, dt_proj3, dt_bias3, A_log3, D3 = tuple(
+            None if ps[0] is None else jnp.stack(ps)
+            for ps in zip(*psets[:2]))
+        d_inner = xz.shape[-1] // 2
+        dt_rank = x_proj3.shape[-1] - 2 * self.d_state
+        x, z = xz[..., :d_inner], xz[..., d_inner:]
+
+        xc = causal_conv1d_directional(
+            x, conv_w3.astype(self.dtype),
+            None if conv_b3 is None else conv_b3.astype(self.dtype),
+            activation="silu")                           # (2, b, L, Din)
+        x_dbl = jnp.einsum("gbld,gde->gble", xc, x_proj3.astype(xc.dtype))
+        dt = jnp.einsum("gblr,grd->gbld", x_dbl[..., :dt_rank],
+                        dt_proj3.astype(xc.dtype))
+        Bm = x_dbl[..., dt_rank:dt_rank + self.d_state]
+        Cm = x_dbl[..., dt_rank + self.d_state:]
+        A3 = -jnp.exp(A_log3.astype(jnp.float32))       # (2, Din, N)
+        D3f = D3.astype(jnp.float32)
+        bias3f = dt_bias3.astype(jnp.float32)
+        rep = lambda p, i: jnp.repeat(p[i:i + 1], batch, axis=0)
+
+        def run(i, **kw):
+            return mamba_scan_fused_dir(
+                xc[i], dt[i], kw.pop("z", None), rep(A3, i), Bm[i], Cm[i],
+                rep(D3f, i), rep(bias3f, i), chunk_size=self.scan_chunk,
+                **kw)
+
+        acc = run(1, reverse=True, gate=False)
+        combined = run(0, acc=acc, z=z, gate=True)
+        if use_slice:
+            out_s = self._run_direction(
+                slice_interleave(xz, nslices), psets[2], "fused")
+            combined = combined + slice_deinterleave(out_s, nslices)
+        return combined
+
     def _run_directions_dir(self, xz, psets, batch, nslices):
         """Forward + flip orientations over the ORIGINAL layout — no
         flip/concat copies: the conv handles direction algebraically
@@ -362,18 +416,22 @@ class MambaV3(nn.Module):
                                  TP_P(self.batch_axis, None,
                                       self.model_axis)))
             xz = _tp_act(xz)
-        # TPU default: the dir composition (zero-copy forward+flip, one
-        # interleave for the slice orientation) — A/B'd faster than the
-        # flip-and-batch path at both model stages (benchmarks/
-        # bench_dirpath.py: 24.4 vs 25.4 ms stage0, 4.55 vs 5.22 stage1).
-        # ``scan_impl="fused"`` keeps the batched form explicitly.
+        # TPU default: the CHAINED dir composition (scan_impl="dir2") —
+        # zero-copy forward+flip with the reverse orientation's ungated
+        # partial fed through the kernel's ``acc`` operand and the shared
+        # silu(z) gate applied once; the slice orientation interleaves xz
+        # once and is gated separately (routing it through the chain
+        # measured slower, benchmarks/bench_dir2.py). A/B vs the unchained
+        # dir path: 23.8 vs 25.1 ms stage0 fwd, 66.7 vs 67.6 fwd+bwd
+        # (bench_dir2.py). ``scan_impl="dir"`` keeps the unchained form,
+        # "fused" the flip-and-batch form (bench_dirpath.py).
         # ``scan_impl="proj"`` opts into the projection-fused chain
         # (scan_pallas_proj.py): exact, smaller backward footprint (no
         # (nd,R,N,L) dB/dC buffers), but measured 6% SLOWER than dir at
         # stage-0 — the scan is VPU-bound, so the in-kernel MXU projections
         # serialize onto the critical path (benchmarks/bench_proj.py).
         use_dirlike = not use_sp and not use_tp and (
-            self.scan_impl in ("dir", "proj")
+            self.scan_impl in ("dir", "dir2", "proj")
             or (self.scan_impl in ("auto", "pallas")
                 and jax.default_backend() == "tpu"))
         use_proj = False
@@ -381,7 +439,9 @@ class MambaV3(nn.Module):
             from segmamba_tpu.ops.scan_pallas_proj import proj_scan_supported
 
             use_proj = proj_scan_supported(d_inner)
-        use_dir = use_dirlike and not use_proj
+        use_dir2 = (use_dirlike and not use_proj
+                    and self.scan_impl in ("dir2", "auto", "pallas"))
+        use_dir = use_dirlike and not use_proj and not use_dir2
         use_batched = (not use_sp and not use_dir and not use_proj
                        and not use_tp and self.scan_impl == "fused")
         if use_sp:
@@ -399,6 +459,9 @@ class MambaV3(nn.Module):
         elif use_proj:
             psets = [p_f, p_b] + ([p_s] if use_slice else [])
             combined = self._run_directions_proj(xz, psets, nslices)
+        elif use_dir2:
+            psets = [p_f, p_b] + ([p_s] if use_slice else [])
+            combined = self._run_directions_dir2(xz, psets, b, nslices)
         elif use_dir:
             psets = [p_f, p_b] + ([p_s] if use_slice else [])
             combined = self._run_directions_dir(xz, psets, b, nslices)

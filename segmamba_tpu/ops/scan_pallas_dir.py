@@ -57,8 +57,15 @@ from segmamba_tpu.ops.scan_pallas import (
 # ---------------------------------------------------------------------------
 
 
-def _dir_fwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
-                    Ct_ref, bias_ref, Dv_ref, out_ref, st_ref, carry_ref):
+def _dir_fwd_kernel(reverse, gate, has_acc, *refs):
+    (u_ref, dt_ref, At_ref, Bt_ref, Ct_ref, bias_ref, Dv_ref, *rest) = refs
+    pos = 0
+    z_ref = rest[pos] if gate else None
+    pos += 1 if gate else 0
+    acc_ref = rest[pos] if has_acc else None
+    pos += 1 if has_acc else 0
+    out_ref, st_ref, carry_ref = rest[pos:]
+
     T = u_ref.shape[1]
     c = pl.program_id(2)
 
@@ -69,7 +76,6 @@ def _dir_fwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
     u = u_ref[0].astype(jnp.float32)
     delta = jax.nn.softplus(dt_ref[0].astype(jnp.float32)
                             + bias_ref[0, 0].astype(jnp.float32))
-    z = z_ref[0].astype(jnp.float32)
     At = At_ref[0].astype(jnp.float32)
     Bt = Bt_ref[0].astype(jnp.float32)
     Ct = Ct_ref[0].astype(jnp.float32)
@@ -98,17 +104,35 @@ def _dir_fwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
         ncarry = x[:, T - 1:T]
     y = jnp.sum(Ct[:, :, None] * x, axis=0)
     ytot = y + Dv_ref[0, 0].astype(jnp.float32) * u
-    out_ref[0] = (ytot * (z * jax.nn.sigmoid(z))).astype(out_ref.dtype)
+    if has_acc:
+        ytot = ytot + acc_ref[0].astype(jnp.float32)
+    if gate:
+        z = z_ref[0].astype(jnp.float32)
+        ytot = ytot * (z * jax.nn.sigmoid(z))
+    out_ref[0] = ytot.astype(out_ref.dtype)
 
     N, Dblk = carry_ref.shape
     carry_ref[...] = ncarry.reshape(N, Dblk)
     st_ref[0, 0] = carry_ref[...]
 
 
-def _dir_bwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
-                    Ct_ref, bias_ref, Dv_ref, dout_ref, ent_ref, du_ref,
-                    ddt_ref, dz_ref, dA_ref, dB_ref, dC_ref, dD_ref,
-                    gcarry_ref):
+def _dir_bwd_kernel(reverse, gate, has_acc, *refs):
+    (u_ref, dt_ref, At_ref, Bt_ref, Ct_ref, bias_ref, Dv_ref, *rest) = refs
+    pos = 0
+    z_ref = rest[pos] if gate else None
+    pos += 1 if gate else 0
+    acc_ref = rest[pos] if (has_acc and gate) else None
+    pos += 1 if (has_acc and gate) else 0
+    dout_ref, ent_ref = rest[pos:pos + 2]
+    outs = rest[pos + 2:]
+    du_ref, ddt_ref = outs[0], outs[1]
+    pos2 = 2
+    dz_ref = outs[pos2] if gate else None
+    pos2 += 1 if gate else 0
+    dacc_ref = outs[pos2] if (has_acc and gate) else None
+    pos2 += 1 if (has_acc and gate) else 0
+    dA_ref, dB_ref, dC_ref, dD_ref, dbias_ref, gcarry_ref = outs[pos2:]
+
     T = u_ref.shape[1]
     c = pl.program_id(2)
     nc = pl.num_programs(2)
@@ -118,12 +142,12 @@ def _dir_bwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
         gcarry_ref[...] = jnp.zeros(gcarry_ref.shape, gcarry_ref.dtype)
         dA_ref[...] = jnp.zeros(dA_ref.shape, dA_ref.dtype)
         dD_ref[...] = jnp.zeros(dD_ref.shape, dD_ref.dtype)
+        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
 
     u = u_ref[0].astype(jnp.float32)
     dt_raw = (dt_ref[0].astype(jnp.float32)
               + bias_ref[0, 0].astype(jnp.float32))
     delta = jax.nn.softplus(dt_raw)
-    z = z_ref[0].astype(jnp.float32)
     At = At_ref[0].astype(jnp.float32)
     Bt = Bt_ref[0].astype(jnp.float32)
     Ct = Ct_ref[0].astype(jnp.float32)
@@ -150,14 +174,22 @@ def _dir_bwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
             [bmat[:, 0:1] + a[:, 0:1] * entry, bmat[:, 1:]], axis=1)
         x = _hs_fwd_b(a, bs, T, axis=1)
         x_prev = jnp.concatenate([entry, x[:, 0:T - 1]], axis=1)
-    y = jnp.sum(Ct[:, :, None] * x, axis=0)
-    ytot = y + Dv * u
 
-    sig = jax.nn.sigmoid(z)
-    silu = z * sig
-    dy = dout * silu
-    dz = dout * ytot * (sig + silu * (1.0 - sig))
-    dz_ref[0] = dz.astype(dz_ref.dtype)
+    if gate:
+        y = jnp.sum(Ct[:, :, None] * x, axis=0)
+        ytot = y + Dv * u
+        if has_acc:
+            ytot = ytot + acc_ref[0].astype(jnp.float32)
+        z = z_ref[0].astype(jnp.float32)
+        sig = jax.nn.sigmoid(z)
+        silu = z * sig
+        dy = dout * silu
+        dz_ref[0] = (dout * ytot * (sig + silu * (1.0 - sig))).astype(
+            dz_ref.dtype)
+        if has_acc:
+            dacc_ref[0] = dy.astype(dacc_ref.dtype)
+    else:
+        dy = dout
     dD_ref[0, 0] += jnp.sum(dy * u, axis=0, keepdims=True)
 
     dx = Ct[:, :, None] * dy[None]
@@ -183,14 +215,17 @@ def _dir_bwd_kernel(reverse, u_ref, dt_ref, z_ref, At_ref, Bt_ref,
     dp = g * x_prev * a
     S = jnp.sum(g * Bt[:, :, None], axis=0)
     ddelta = jnp.sum(dp * At[:, None, :], axis=0) + S * u
-    ddt_ref[0] = (ddelta * jax.nn.sigmoid(dt_raw)).astype(ddt_ref.dtype)
+    ddt = ddelta * jax.nn.sigmoid(dt_raw)
+    ddt_ref[0] = ddt.astype(ddt_ref.dtype)
     du_ref[0] = (S * delta + dy * Dv).astype(du_ref.dtype)
+    dbias_ref[0, 0] += jnp.sum(ddt, axis=0, keepdims=True)
     dA_ref[0, 0] += jnp.sum(dp * delta[None], axis=1)
     dB_ref[0, 0] = jnp.sum(g * du_[None], axis=2).astype(dB_ref.dtype)
     dC_ref[0, 0] = jnp.sum(x * dy[None], axis=2).astype(dC_ref.dtype)
 
 
-def _dir_fwd_call(u, dt, z, At, Bt, Ct, bias, Dv, T, Dblk, reverse):
+def _dir_fwd_call(u, dt, z, acc, At, Bt, Ct, bias, Dv, T, Dblk, reverse,
+                  gate, has_acc):
     R, L, D = u.shape
     N = At.shape[1]
     nc, nd = L // T, D // Dblk
@@ -202,14 +237,22 @@ def _dir_fwd_call(u, dt, z, At, Bt, Ct, bias, Dv, T, Dblk, reverse):
     seq_spec = pl.BlockSpec((1, T, Dblk), lambda b, d, c: (b, pc(c), d))
     bc_spec = pl.BlockSpec((1, N, T), lambda b, d, c: (b, 0, pc(c)))
     vec_spec = pl.BlockSpec((1, 1, Dblk), lambda b, d, c: (b, 0, d))
+    in_specs = [
+        seq_spec, seq_spec,
+        pl.BlockSpec((1, N, Dblk), lambda b, d, c: (b, 0, d)),
+        bc_spec, bc_spec, vec_spec, vec_spec,
+    ]
+    args = [u, dt, At, Bt, Ct, bias, Dv]
+    if gate:
+        in_specs.append(seq_spec)
+        args.append(z)
+    if has_acc:
+        in_specs.append(seq_spec)
+        args.append(acc)
     out, states = pl.pallas_call(
-        functools.partial(_dir_fwd_kernel, reverse),
+        functools.partial(_dir_fwd_kernel, reverse, gate, has_acc),
         grid=(R, nd, nc),
-        in_specs=[
-            seq_spec, seq_spec, seq_spec,
-            pl.BlockSpec((1, N, Dblk), lambda b, d, c: (b, 0, d)),
-            bc_spec, bc_spec, vec_spec, vec_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[
             seq_spec,
             pl.BlockSpec((1, 1, N, Dblk), lambda b, d, c: (b, c, 0, d)),
@@ -220,12 +263,12 @@ def _dir_fwd_call(u, dt, z, At, Bt, Ct, bias, Dv, T, Dblk, reverse):
         ],
         scratch_shapes=[pltpu.VMEM((N, Dblk), jnp.float32)],
         interpret=_interpret(),
-    )(u, dt, z, At, Bt, Ct, bias, Dv)
+    )(*args)
     return out, states
 
 
-def _dir_bwd_call(u, dt, z, At, Bt, Ct, bias, Dv, dout, states, T, Dblk,
-                  reverse):
+def _dir_bwd_call(u, dt, z, acc, At, Bt, Ct, bias, Dv, dout, states, T, Dblk,
+                  reverse, gate, has_acc):
     R, L, D = u.shape
     N = At.shape[1]
     nc, nd = L // T, D // Dblk
@@ -239,65 +282,95 @@ def _dir_bwd_call(u, dt, z, At, Bt, Ct, bias, Dv, dout, states, T, Dblk,
     seq_spec = pl.BlockSpec((1, T, Dblk), lambda b, d, c: (b, pc(rv(c)), d))
     bc_spec = pl.BlockSpec((1, N, T), lambda b, d, c: (b, 0, pc(rv(c))))
     vec_spec = pl.BlockSpec((1, 1, Dblk), lambda b, d, c: (b, 0, d))
-    outs = pl.pallas_call(
-        functools.partial(_dir_bwd_kernel, reverse),
+    in_specs = [
+        seq_spec, seq_spec,
+        pl.BlockSpec((1, N, Dblk), lambda b, d, c: (b, 0, d)),
+        bc_spec, bc_spec, vec_spec, vec_spec,
+    ]
+    args = [u, dt, At, Bt, Ct, bias, Dv]
+    if gate:
+        in_specs.append(seq_spec)
+        args.append(z)
+    if has_acc and gate:
+        in_specs.append(seq_spec)
+        args.append(acc)
+    in_specs.append(seq_spec)  # dout
+    in_specs.append(pl.BlockSpec(
+        (1, 1, N, Dblk), lambda b, d, c: (b, jnp.maximum(rv(c) - 1, 0), 0, d)))
+    args += [dout, states]
+
+    # big per-token gradients in the STORAGE dtype (bf16 for the model) —
+    # the f32-then-cast form cost a full extra HBM round trip per tensor
+    out_specs = [seq_spec, seq_spec]
+    out_shape = [jax.ShapeDtypeStruct((R, L, D), u.dtype),
+                 jax.ShapeDtypeStruct((R, L, D), dt.dtype)]
+    if gate:
+        out_specs.append(seq_spec)
+        out_shape.append(jax.ShapeDtypeStruct((R, L, D), z.dtype))
+        if has_acc:
+            out_specs.append(seq_spec)
+            out_shape.append(jax.ShapeDtypeStruct((R, L, D), acc.dtype))
+    out_specs += [
+        pl.BlockSpec((1, 1, N, Dblk), lambda b, d, c: (b, d, 0, 0)),
+        pl.BlockSpec((1, 1, N, T), lambda b, d, c: (d, b, 0, pc(rv(c)))),
+        pl.BlockSpec((1, 1, N, T), lambda b, d, c: (d, b, 0, pc(rv(c)))),
+        pl.BlockSpec((1, 1, 1, Dblk), lambda b, d, c: (b, d, 0, 0)),
+        pl.BlockSpec((1, 1, 1, Dblk), lambda b, d, c: (b, d, 0, 0)),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((R, nd, N, Dblk), jnp.float32),
+        jax.ShapeDtypeStruct((nd, R, N, L), jnp.float32),
+        jax.ShapeDtypeStruct((nd, R, N, L), jnp.float32),
+        jax.ShapeDtypeStruct((R, nd, 1, Dblk), jnp.float32),
+        jax.ShapeDtypeStruct((R, nd, 1, Dblk), jnp.float32),
+    ]
+    outs = list(pl.pallas_call(
+        functools.partial(_dir_bwd_kernel, reverse, gate, has_acc),
         grid=(R, nd, nc),
-        in_specs=[
-            seq_spec, seq_spec, seq_spec,
-            pl.BlockSpec((1, N, Dblk), lambda b, d, c: (b, 0, d)),
-            bc_spec, bc_spec, vec_spec, vec_spec,
-            seq_spec,
-            pl.BlockSpec((1, 1, N, Dblk),
-                         lambda b, d, c: (b, jnp.maximum(rv(c) - 1, 0), 0, d)),
-        ],
-        out_specs=[
-            seq_spec, seq_spec, seq_spec,
-            pl.BlockSpec((1, 1, N, Dblk), lambda b, d, c: (b, d, 0, 0)),
-            pl.BlockSpec((1, 1, N, T), lambda b, d, c: (d, b, 0, pc(rv(c)))),
-            pl.BlockSpec((1, 1, N, T), lambda b, d, c: (d, b, 0, pc(rv(c)))),
-            pl.BlockSpec((1, 1, 1, Dblk), lambda b, d, c: (b, d, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, L, D), jnp.float32),
-            jax.ShapeDtypeStruct((R, L, D), jnp.float32),
-            jax.ShapeDtypeStruct((R, L, D), jnp.float32),
-            jax.ShapeDtypeStruct((R, nd, N, Dblk), jnp.float32),
-            jax.ShapeDtypeStruct((nd, R, N, L), jnp.float32),
-            jax.ShapeDtypeStruct((nd, R, N, L), jnp.float32),
-            jax.ShapeDtypeStruct((R, nd, 1, Dblk), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((N, Dblk), jnp.float32)],
         interpret=_interpret(),
-    )(u, dt, z, At, Bt, Ct, bias, Dv, dout, states)
-    du, ddt, dz, dA_p, dB_p, dC_p, dD_p = outs
+    )(*args))
+    du = outs.pop(0)
+    ddt = outs.pop(0)
+    dz = outs.pop(0) if gate else None
+    dacc = outs.pop(0) if (gate and has_acc) else None
+    dA_p, dB_p, dC_p, dD_p, dbias_p = outs
     # per-batch parameters (R groups)
     dAt = jnp.moveaxis(dA_p, 1, 2).reshape(R, N, D)
     dDv = dD_p.reshape(R, 1, D)
-    dbias = jnp.sum(ddt, axis=1).reshape(R, 1, D)
-    dBt = jnp.sum(dB_p, axis=0)
-    dCt = jnp.sum(dC_p, axis=0)
-    return du, ddt, dz, dAt, dBt, dCt, dDv, dbias
+    dbias = dbias_p.reshape(R, 1, D)
+    dBt = jnp.sum(dB_p, axis=0) if dB_p.shape[0] > 1 else dB_p[0]
+    dCt = jnp.sum(dC_p, axis=0) if dC_p.shape[0] > 1 else dC_p[0]
+    return du, ddt, dz, dacc, dAt, dBt, dCt, dDv, dbias
 
 
 @functools.lru_cache(maxsize=None)
-def _make_dir_core(T, Dblk, reverse):
+def _make_dir_core(T, Dblk, reverse, gate=True, has_acc=False):
     @jax.custom_vjp
-    def core(u, dt, z, At, Bt, Ct, bias, Dv):
-        out, _ = _dir_fwd_call(u, dt, z, At, Bt, Ct, bias, Dv, T, Dblk,
-                               reverse)
+    def core(u, dt, z, acc, At, Bt, Ct, bias, Dv):
+        out, _ = _dir_fwd_call(u, dt, z, acc, At, Bt, Ct, bias, Dv, T, Dblk,
+                               reverse, gate, has_acc)
         return out
 
-    def core_fwd(u, dt, z, At, Bt, Ct, bias, Dv):
-        out, states = _dir_fwd_call(u, dt, z, At, Bt, Ct, bias, Dv, T, Dblk,
-                                    reverse)
-        return out, (u, dt, z, At, Bt, Ct, bias, Dv, states)
+    def core_fwd(u, dt, z, acc, At, Bt, Ct, bias, Dv):
+        out, states = _dir_fwd_call(u, dt, z, acc, At, Bt, Ct, bias, Dv, T,
+                                    Dblk, reverse, gate, has_acc)
+        return out, (u, dt, z, acc, At, Bt, Ct, bias, Dv, states)
 
     def core_bwd(res, dout):
-        u, dt, z, At, Bt, Ct, bias, Dv, states = res
-        du, ddt, dz, dAt, dBt, dCt, dDv, dbias = _dir_bwd_call(
-            u, dt, z, At, Bt, Ct, bias, Dv, dout.astype(jnp.float32), states,
-            T, Dblk, reverse)
-        return (du.astype(u.dtype), ddt.astype(dt.dtype), dz.astype(z.dtype),
+        u, dt, z, acc, At, Bt, Ct, bias, Dv, states = res
+        du, ddt, dz, dacc, dAt, dBt, dCt, dDv, dbias = _dir_bwd_call(
+            u, dt, z, acc, At, Bt, Ct, bias, Dv, dout, states,
+            T, Dblk, reverse, gate, has_acc)
+        if dz is None:
+            dz = jnp.zeros_like(z)
+        if dacc is None:
+            # ungated chain link: out = y + acc, so dacc = dout verbatim
+            dacc = dout.astype(acc.dtype) if has_acc else jnp.zeros_like(acc)
+        return (du, ddt, dz, dacc,
                 dAt.astype(At.dtype), dBt.astype(Bt.dtype),
                 dCt.astype(Ct.dtype), dbias.astype(bias.dtype),
                 dDv.astype(Dv.dtype))
@@ -306,8 +379,9 @@ def _make_dir_core(T, Dblk, reverse):
     return core
 
 
-def mamba_scan_fused_dir(u, dt, z, A, B, C, D, dt_bias, *, reverse=False,
-                         chunk_size=DEF_CHUNK, d_block=DEF_DBLOCK):
+def mamba_scan_fused_dir(u, dt, z, A, B, C, D, dt_bias, *, acc=None,
+                         gate=True, reverse=False, chunk_size=DEF_CHUNK,
+                         d_block=DEF_DBLOCK):
     """Batched gated scan that runs right-to-left IN PLACE when
     ``reverse=True`` — inputs and outputs stay in original order; the
     kernel walks chunks through reversed index maps and scans each chunk
@@ -318,7 +392,17 @@ def mamba_scan_fused_dir(u, dt, z, A, B, C, D, dt_bias, *, reverse=False,
     compile-time constant: the forward and flip orientations run as two
     statically-specialized kernels (a runtime per-row lax.cond measured
     2.5x slower on v5e).
+
+    ``acc``/``gate`` make the three scan orientations a CHAIN (the
+    VERDICT-r4-item-1 fusion in its realizable form — a single-walk
+    two-carry kernel cannot carry both directions; see
+    benchmarks/bench_dir2.py): with ``gate=False`` the raw partial
+    ``y (+ acc)`` is returned for the next link; the final link adds its
+    ``acc`` and applies the shared silu(z) gate once, so z is read once
+    per MambaLayer and the partial-output adds fuse into the kernels.
     """
+    if gate and z is None:
+        raise ValueError("gate=True requires z")
     R, seqlen, dim = u.shape
     T = min(chunk_size, _round_up(seqlen, 8))
     if T < 128 and _round_up(seqlen, 8) > T:
@@ -336,9 +420,17 @@ def mamba_scan_fused_dir(u, dt, z, A, B, C, D, dt_bias, *, reverse=False,
     # Physical end-padding is harmless in both directions: for the reverse
     # kernel the padded zeros sit at the START of the virtual (scan-order)
     # sequence and a zero state passes through them unchanged (u=0 => b=0).
+    has_acc = acc is not None
     uf = padded(u, [(1, pad_l), (2, pad_d)])
     dtf = padded(dt, [(1, pad_l), (2, pad_d)])
-    zf = padded(z, [(1, pad_l), (2, pad_d)])
+    zf = (padded(z, [(1, pad_l), (2, pad_d)]) if gate
+          else jnp.zeros((), uf.dtype))
+    accf = (padded(acc, [(1, pad_l), (2, pad_d)]) if has_acc
+            else jnp.zeros((), uf.dtype))
+    if not gate:
+        zf = jnp.broadcast_to(zf, uf.shape)   # unused placeholder; DCE'd
+    if not has_acc:
+        accf = jnp.broadcast_to(accf, uf.shape)
     Bf = padded(B, [(1, pad_l)])
     Cf = padded(C, [(1, pad_l)])
     At3 = jnp.swapaxes(padded(A.astype(jnp.float32), [(1, pad_d)]), 1, 2)
@@ -346,8 +438,8 @@ def mamba_scan_fused_dir(u, dt, z, A, B, C, D, dt_bias, *, reverse=False,
                    [(2, pad_d)])
     Dv3 = padded(D.astype(jnp.float32).reshape(R, 1, dim), [(2, pad_d)])
 
-    core = _make_dir_core(T, Dblk, bool(reverse))
-    out = core(uf, dtf, zf, At3, jnp.swapaxes(Bf, 1, 2),
+    core = _make_dir_core(T, Dblk, bool(reverse), bool(gate), has_acc)
+    out = core(uf, dtf, zf, accf, At3, jnp.swapaxes(Bf, 1, 2),
                jnp.swapaxes(Cf, 1, 2), bias3, Dv3)
     return out[:, :seqlen, :dim]
 
