@@ -13,13 +13,19 @@ The checkpoint is shape-agnostic: ``num_slices_list`` only permutes the scan
 order and carries no parameters, so sliding-window and whole-volume modes
 share weights.
 
-Measured at the real BraTS shape (155x240x240 -> padded 160x240x240,
-1.15M stage-0 tokens) on a single v5e 16GB chip: 6.80 s/case single shot,
-bf16, no remat needed (benchmarks/bench_whole_volume.py). The sliding
-window is still faster per case on this chip (the padded full volume is
-~2.4x the voxels of the windows actually needed and the giant scans are
-VPU-bound); the single-shot mode's value is zero window-blending artifacts
-and a global receptive field at native resolution.
+Measured at the real BraTS shape (155x240x240) on a single v5e 16GB chip
+(benchmarks/bench_whole_volume.py): the device forward is ~0.25 s at the
+nonzero-cropped 144x176x144 brain box — the rounds-2-4 "6.8 s/case" figure
+was a dispatch bug, not device time: a fresh ``jax.jit(wv_model.apply)``
+was built per call, so every case re-traced and re-queried the compile
+relay. The jitted apply is now cached per model config (``_jitted_apply``).
+Per case the single shot now runs ~4x fewer voxel-forwards than the
+sliding-window grid (each voxel processed once vs the overlap-0.5 window
+redundancy). CAVEAT for accuracy parity: the reference's protocol is
+sliding-window + TTA on a patch-trained model (4_predict.py:55-62); the
+single-shot mode changes the test-time distribution (longer scans, global
+context), so Dice parity must be validated per checkpoint before serving
+with it — the eval scripts keep the window protocol by default.
 """
 
 from __future__ import annotations
@@ -72,6 +78,25 @@ def nonzero_bbox(volume, multiple=16, margin=0):
     return tuple(bounds)
 
 
+_APPLY_CACHE = {}
+
+
+def _jitted_apply(model):
+    """One jitted ``model.apply`` per model CONFIG. ``dataclasses.replace``
+    creates a fresh module instance per call; ``jax.jit`` keys its trace
+    cache on the callable's identity, so jitting the bound method inline
+    re-traced (and re-queried the remote-compile cache) on EVERY case —
+    ~9 s of host overhead around a ~0.25 s device program."""
+    key = (type(model).__name__, model.in_chans, model.out_chans,
+           tuple(model.depths), tuple(model.feat_size), model.hidden_size,
+           tuple(model.num_slices_list), model.scan_impl, str(model.dtype),
+           model.remat)
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        fn = _APPLY_CACHE[key] = jax.jit(model.apply)
+    return fn
+
+
 def whole_volume_inference(model, params, volume, multiple=16,
                            crop_to_nonzero=True, background_logit=20.0):
     """Single forward over the whole (1, Z, Y, X, C) volume.
@@ -98,7 +123,7 @@ def whole_volume_inference(model, params, volume, multiple=16,
     spatial = padded.shape[1:4]
     wv_model = dataclasses.replace(
         model, num_slices_list=num_slices_for_shape(spatial))
-    logits = jax.jit(wv_model.apply)(params, padded)[:, :Z, :Y, :X]
+    logits = _jitted_apply(wv_model)(params, padded)[:, :Z, :Y, :X]
     if box is None:
         return logits
     (z0, z1), (y0, y1), (x0, x1) = box
