@@ -49,17 +49,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("round", type=int)
     ap.add_argument("--skip-light", action="store_true")
+    ap.add_argument("--no-heavy", action="store_true",
+                    help="deselect the heavy tier from the light run "
+                         "(single-CPU hosts can't fit its multi-minute "
+                         "XLA:CPU compiles); the tier name records this")
     ap.add_argument("--light-timeout", type=int, default=1800)
     args = ap.parse_args()
 
     tiers = [run_tier("smoke", ["-m", "smoke", "tests/"], 900)]
     if not args.skip_light:
-        tiers.append(run_tier("light", ["tests/"], args.light_timeout))
+        if args.no_heavy:
+            tiers.append(run_tier("light (not heavy)",
+                                  ["-m", "not heavy", "tests/"],
+                                  args.light_timeout))
+        else:
+            tiers.append(run_tier("light", ["tests/"], args.light_timeout))
 
     out = {
         "round": args.round,
         "host": platform.node(),
         "machine": platform.machine(),
+        "cpus": __import__("os").cpu_count(),
         "python": platform.python_version(),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "tiers": tiers,
