@@ -22,6 +22,18 @@ Extra fields (VERDICT r3 items 3 & 7; r4 items 2 & 6):
 - ``train_step_sec`` / ``train_mfu``: jitted train step at the reference
   recipe shape (batch 2 x 128^3, bf16, device augmentation on), seconds
   and model-FLOP utilization (XLA-counted FLOPs of the compiled step).
+- ``wholevol_sec_per_case``: the framework's own single-shot mode
+  (infer/whole_volume.py): ONE forward over the whole preprocessed case
+  (padded to 160x192x160, ~2.9M stage-0 tokens) instead of 8 overlapping
+  128^3 windows — ~3.4x fewer voxel-forwards, a mode the reference's
+  quadratic-attention baselines cannot express. Kept as an extra field
+  (not the headline) because it changes the eval protocol; Dice parity
+  vs the window path is validated per checkpoint
+  (benchmarks/validate_whole_volume.py).
+- ``wholevol_tta_sec_per_case``: the reference's full 8x-mirror-TTA
+  protocol on the single-shot mode, as ONE compiled program (a
+  lax.fori_loop over the 8 flip combos with lax.rev on device,
+  infer/whole_volume.py ``whole_volume_tta``) — one dispatch per case.
 """
 
 import json
@@ -153,6 +165,48 @@ def main():
     except Exception as e:
         print(f"# tta unavailable: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # --- whole-volume single shot: one forward over the padded case
+    wv_sec = None
+    try:
+        from segmamba_tpu.infer.whole_volume import whole_volume_inference
+
+        def run_wv():
+            return float(fetch(whole_volume_inference(
+                model, params, case, crop_to_nonzero=False)))
+
+        run_wv()  # compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_wv()
+            times.append(time.perf_counter() - t0)
+        wv_sec = min(times)
+        print(f"# wholevol: {wv_sec:.3f} s/case", file=sys.stderr)
+    except Exception as e:
+        print(f"# wholevol unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # --- full 8x mirror TTA on the single-shot mode, one program/case
+    wv_tta_sec = None
+    try:
+        from segmamba_tpu.infer.whole_volume import whole_volume_tta
+
+        def run_wv_tta():
+            return float(fetch(whole_volume_tta(
+                model, params, case, crop_to_nonzero=False)))
+
+        run_wv_tta()  # compile
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_wv_tta()
+            times.append(time.perf_counter() - t0)
+        wv_tta_sec = min(times)
+        print(f"# wholevol tta8: {wv_tta_sec:.3f} s/case", file=sys.stderr)
+    except Exception as e:
+        print(f"# wholevol tta unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # --- train step at the reference recipe shape (trainer.py:422-483 hot
     # loop): batch 2 x 128^3 bf16, device augmentation, poly-LR SGD.
     train_step_sec = None
@@ -212,6 +266,10 @@ def main():
         out["mfu"] = round(mfu, 4)
     if tta_sec is not None:
         out["tta_sec_per_case"] = round(tta_sec, 3)
+    if wv_sec is not None:
+        out["wholevol_sec_per_case"] = round(wv_sec, 3)
+    if wv_tta_sec is not None:
+        out["wholevol_tta_sec_per_case"] = round(wv_tta_sec, 3)
     if train_step_sec is not None:
         out["train_step_sec"] = round(train_step_sec, 3)
     if train_mfu is not None:

@@ -134,6 +134,100 @@ def whole_volume_inference(model, params, volume, multiple=16,
     return jax.lax.dynamic_update_slice(full, logits, (0, z0, y0, x0, 0))
 
 
+_TTA_CACHE = {}
+
+
+def _jitted_tta_apply(model, axes, pads):
+    """One compiled program for the ENTIRE mirror-TTA protocol: a
+    ``lax.fori_loop`` over the 2^len(axes) flip combinations, each flip
+    applied on device (predicated by the loop index's bits through
+    ``lax.cond``), forwards accumulated in f32 and averaged in-graph. The
+    reference runs 8 separate flipped passes from the host
+    (light_training/prediction.py:110-159); here a full TTA case is ONE
+    dispatch, and the body is traced once so compile cost ~= one forward.
+
+    ``pads`` is the end-padding per spatial axis of the padded input. A
+    bare ``lax.rev`` of the padded frame would move that padding to the
+    LEADING side of the content — a different boundary context than the
+    host protocol's flip-then-pad (convs and scans would meet the zeros
+    first). Each flip is therefore rev composed with a static roll that
+    returns the padding to the end, which is exactly flip-then-pad; the
+    output applies the inverse (roll back, then rev)."""
+    key = (type(model).__name__, model.in_chans, model.out_chans,
+           tuple(model.depths), tuple(model.feat_size), model.hidden_size,
+           tuple(model.num_slices_list), model.scan_impl, str(model.dtype),
+           model.remat, tuple(axes), tuple(pads))
+    fn = _TTA_CACHE.get(key)
+    if fn is not None:
+        return fn
+    n = 2 ** len(axes)
+
+    def _sel(i, k):
+        return ((i >> k) & 1) > 0
+
+    def flip_in(v, i):
+        for k, ax in enumerate(axes):
+            v = jax.lax.cond(
+                _sel(i, k),
+                lambda t, a=ax: jnp.roll(jax.lax.rev(t, (a + 1,)),
+                                         -pads[a], axis=a + 1),
+                lambda t: t, v)
+        return v
+
+    def flip_out(v, i):
+        for k, ax in enumerate(axes):
+            v = jax.lax.cond(
+                _sel(i, k),
+                lambda t, a=ax: jax.lax.rev(
+                    jnp.roll(t, pads[a], axis=a + 1), (a + 1,)),
+                lambda t: t, v)
+        return v
+
+    def run(params, x):
+        def body(i, acc):
+            yi = model.apply(params, flip_in(x, i))
+            return acc + flip_out(yi, i).astype(acc.dtype)
+
+        acc = jnp.zeros(x.shape[:-1] + (model.out_chans,), jnp.float32)
+        return jax.lax.fori_loop(0, n, body, acc) / n
+
+    fn = _TTA_CACHE[key] = jax.jit(run)
+    return fn
+
+
+def whole_volume_tta(model, params, volume, mirror_axes=(0, 1, 2),
+                     multiple=16, crop_to_nonzero=True,
+                     background_logit=20.0):
+    """Mirror-TTA mean of single-shot forwards over the whole volume, as
+    one device program (see ``_jitted_tta_apply``). Same crop/pad/paste
+    semantics as ``whole_volume_inference``; ``mirror_axes`` are spatial
+    (0=Z, 1=Y, 2=X), matching Predictor/4_predict ``--mirror``."""
+    axes = tuple(mirror_axes) if mirror_axes else ()
+    _, Z0, Y0, X0, _ = volume.shape
+    box = None
+    if crop_to_nonzero:
+        box = nonzero_bbox(volume, multiple)
+        (z0, z1), (y0, y1), (x0, x1) = box
+        if (z1 - z0, y1 - y0, x1 - x0) == (Z0, Y0, X0):
+            box = None
+        else:
+            volume = volume[:, z0:z1, y0:y1, x0:x1]
+    padded, (Z, Y, X) = pad_to_multiple(volume, multiple)
+    wv_model = dataclasses.replace(
+        model, num_slices_list=num_slices_for_shape(padded.shape[1:4]))
+    pads = (padded.shape[1] - Z, padded.shape[2] - Y, padded.shape[3] - X)
+    logits = _jitted_tta_apply(wv_model, axes, pads)(
+        params, padded)[:, :Z, :Y, :X]
+    if box is None:
+        return logits
+    (z0, z1), (y0, y1), (x0, x1) = box
+    K = logits.shape[-1]
+    bg = jnp.zeros((K,), logits.dtype).at[0].set(
+        jnp.asarray(background_logit, logits.dtype))
+    full = jnp.broadcast_to(bg, (1, Z0, Y0, X0, K))
+    return jax.lax.dynamic_update_slice(full, logits, (0, z0, y0, x0, 0))
+
+
 class WholeVolumePredictor:
     """Predictor-compatible wrapper: same maybe_mirror_and_predict surface
     as infer.Predictor, but one forward per (flipped) volume."""
@@ -149,13 +243,9 @@ class WholeVolumePredictor:
                                       self.multiple)
 
     def maybe_mirror_and_predict(self, x, predictor_fn=None, num_classes=None):
-        import itertools
-        spatial_axes = (1, 2, 3)
-        pred = self(x)
-        n = 1
-        for r in range(1, len(self.mirror_axes) + 1):
-            for combo in itertools.combinations(self.mirror_axes, r):
-                axes = tuple(spatial_axes[a] for a in combo)
-                pred = pred + jnp.flip(self(jnp.flip(x, axes)), axes)
-                n += 1
-        return pred / n
+        """All 2^len(mirror_axes) flipped forwards in ONE device program
+        (whole_volume_tta) — numerically the mean the reference's host
+        loop produces (light_training/prediction.py:110-159)."""
+        return whole_volume_tta(self.model, self.params, x,
+                                mirror_axes=self.mirror_axes,
+                                multiple=self.multiple)

@@ -114,6 +114,81 @@ def test_whole_volume_crop_to_nonzero_matches_inside_and_bg_outside():
     assert (seg[outside] == 0).all()
 
 
+def test_whole_volume_tta_matches_host_flip_average():
+    """The one-program fori_loop TTA must equal the explicit host loop:
+    mean over all flip combos of flip(model(flip(x)))."""
+    import itertools
+    from segmamba_tpu.infer.whole_volume import whole_volume_tta
+
+    model = SegMamba(**TINY)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+
+    axes_cfgs = [(0,), (0, 2)]
+    for mirror_axes in axes_cfgs:
+        got = whole_volume_tta(model, params, x, mirror_axes=mirror_axes,
+                               multiple=16, crop_to_nonzero=False)
+        pred = model.apply(params, x)
+        n = 1
+        for r in range(1, len(mirror_axes) + 1):
+            for combo in itertools.combinations(mirror_axes, r):
+                ax = tuple(a + 1 for a in combo)
+                pred = pred + jnp.flip(
+                    model.apply(params, jnp.flip(x, ax)), ax)
+                n += 1
+        np.testing.assert_allclose(np.asarray(got), np.asarray(pred) / n,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_whole_volume_tta_ragged_matches_host_protocol():
+    """On a NON-divisible shape (real cases) the in-graph TTA must equal
+    the host protocol flip(case) -> pad -> forward -> crop -> flip-back:
+    padding must stay on the trailing side of the content for every flip
+    (rev+roll composition), not get mirrored to the leading side."""
+    import itertools
+    from segmamba_tpu.infer.whole_volume import whole_volume_tta
+
+    model = SegMamba(**TINY)
+    rng = np.random.default_rng(5)
+    x16 = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)), jnp.float32)
+    params = model.init(jax.random.key(0), x16)
+    x = jnp.asarray(rng.standard_normal((1, 20, 22, 24, 2)), jnp.float32)
+
+    mirror_axes = (0, 2)
+    got = whole_volume_tta(model, params, x, mirror_axes=mirror_axes,
+                           multiple=16, crop_to_nonzero=False)
+    pred = whole_volume_inference(model, params, x, multiple=16,
+                                  crop_to_nonzero=False)
+    n = 1
+    for r in range(1, len(mirror_axes) + 1):
+        for combo in itertools.combinations(mirror_axes, r):
+            ax = tuple(a + 1 for a in combo)
+            pred = pred + jnp.flip(whole_volume_inference(
+                model, params, jnp.flip(x, ax), multiple=16,
+                crop_to_nonzero=False), ax)
+            n += 1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(pred) / n,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_whole_volume_tta_crop_paste():
+    """Cropped TTA pastes background outside the box and keeps shape."""
+    from segmamba_tpu.infer.whole_volume import whole_volume_tta
+
+    model = SegMamba(**TINY)
+    rng = np.random.default_rng(4)
+    x16 = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)), jnp.float32)
+    params = model.init(jax.random.key(0), x16)
+    vol = np.zeros((1, 32, 32, 32, 2), np.float32)
+    vol[0, 8:24, 8:24, 8:24] = rng.standard_normal((16, 16, 16, 2))
+    out = whole_volume_tta(model, params, jnp.asarray(vol),
+                           mirror_axes=(1,), multiple=16)
+    assert out.shape == (1, 32, 32, 32, 3)
+    seg = np.argmax(np.asarray(out[0]), axis=-1)
+    assert (seg[:4, :4, :4] == 0).all()
+
+
 def test_sequential_shards_and_concat():
     shards, mask = sequential_shards(10, 4)
     assert len(shards) == 4 and all(len(s) == 3 for s in shards)
